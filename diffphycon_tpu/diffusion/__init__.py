@@ -1,0 +1,12 @@
+from diffphycon_tpu.diffusion.schedules import (
+    linear_beta_schedule,
+    cosine_beta_schedule,
+    sigmoid_beta_schedule,
+    make_guidance_schedule,
+    GUIDANCE_SCHEDULES,
+)
+from diffphycon_tpu.diffusion.core import (
+    DiffusionConstants,
+    GaussianDiffusion,
+    CondSpec,
+)

@@ -1,0 +1,124 @@
+"""Convert reference (PyTorch) checkpoints into diffphycon_tpu Flax params.
+
+Enables loading checkpoints trained with the reference repo
+(/root/reference/diffusion/diffusion_1d_burgers.py:935-972 save format) into
+the TPU-native models for apples-to-apples control-objective parity.
+
+Conventions:
+  torch Conv2d weight (out, in, kh, kw) -> flax kernel (kh, kw, in, out)
+  torch Linear weight (out, in)         -> flax kernel (in, out)
+  torch GroupNorm weight/bias           -> flax scale/bias
+  reference LayerNorm g (1, C, 1, 1)    -> flax g (C,)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import numpy as np
+
+
+def _conv(sd: Mapping[str, np.ndarray], name: str, bias: bool = True) -> Dict:
+    out = {"kernel": np.transpose(sd[f"{name}.weight"], (2, 3, 1, 0))}
+    if bias:
+        out["bias"] = sd[f"{name}.bias"]
+    return out
+
+
+def _linear(sd, name):
+    return {"kernel": np.transpose(sd[f"{name}.weight"]), "bias": sd[f"{name}.bias"]}
+
+
+def _groupnorm(sd, name):
+    return {"scale": sd[f"{name}.weight"], "bias": sd[f"{name}.bias"]}
+
+
+def _gain(sd, name):
+    return {"g": np.reshape(sd[f"{name}.g"], (-1,))}
+
+
+def _resnet_block(sd: Mapping[str, np.ndarray], prefix: str) -> Dict:
+    out = {
+        "mlp": _linear(sd, f"{prefix}.mlp.1"),
+        "block1": {
+            "proj": _conv(sd, f"{prefix}.block1.proj"),
+            "norm": _groupnorm(sd, f"{prefix}.block1.norm"),
+        },
+        "block2": {
+            "proj": _conv(sd, f"{prefix}.block2.proj"),
+            "norm": _groupnorm(sd, f"{prefix}.block2.norm"),
+        },
+    }
+    if f"{prefix}.res_conv.weight" in sd:
+        out["res_conv"] = _conv(sd, f"{prefix}.res_conv")
+    return out
+
+
+def _linear_attention(sd, prefix: str) -> Dict:
+    """Residual(PreNorm(LinearAttention)) at ``prefix`` (e.g. downs.0.2.fn).
+
+    The inner module of our PreNormResidual is auto-named by its class
+    (``LinearAttention_0``).
+    """
+    return {
+        "norm": _gain(sd, f"{prefix}.norm"),
+        "attn": {
+            "to_qkv": _conv(sd, f"{prefix}.fn.to_qkv", bias=False),
+            "to_out": _conv(sd, f"{prefix}.fn.to_out.0"),
+            "out_norm": _gain(sd, f"{prefix}.fn.to_out.1"),
+        },
+    }
+
+
+def _full_attention(sd, prefix: str) -> Dict:
+    return {
+        "norm": _gain(sd, f"{prefix}.norm"),
+        "attn": {
+            "to_qkv": _conv(sd, f"{prefix}.fn.to_qkv", bias=False),
+            "to_out": _conv(sd, f"{prefix}.fn.to_out"),
+        },
+    }
+
+
+def convert_unet2d(state_dict: Mapping[str, np.ndarray], num_levels: int = 4) -> Dict:
+    """Map a reference ``Unet2D`` state_dict (model/burgers_1d/unet.py:268-431)
+    to the diffphycon_tpu ``UNet2D`` param tree.
+
+    Accepts tensors or numpy arrays; returns a nested dict of numpy arrays
+    suitable for ``{'params': ...}``.
+    """
+    sd = {
+        k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+        for k, v in state_dict.items()
+    }
+    params: Dict = {
+        "init_conv": _conv(sd, "init_conv"),
+        "time_mlp": {
+            "fc1": _linear(sd, "time_mlp.1"),
+            "fc2": _linear(sd, "time_mlp.3"),
+        },
+        "mid_block1": _resnet_block(sd, "mid_block1"),
+        "mid_attn": _full_attention(sd, "mid_attn.fn"),
+        "mid_block2": _resnet_block(sd, "mid_block2"),
+        "final_res_block": _resnet_block(sd, "final_res_block"),
+        "final_conv": _conv(sd, "final_conv"),
+    }
+    for i in range(num_levels):
+        is_last = i == num_levels - 1
+        params[f"down_{i}_block1"] = _resnet_block(sd, f"downs.{i}.0")
+        params[f"down_{i}_block2"] = _resnet_block(sd, f"downs.{i}.1")
+        params[f"down_{i}_attn"] = _linear_attention(sd, f"downs.{i}.2.fn")
+        if is_last:
+            params[f"down_{i}_downsample"] = _conv(sd, f"downs.{i}.3")
+        else:
+            params[f"down_{i}_downsample"] = {
+                "conv": _conv(sd, f"downs.{i}.3.1")
+            }
+        params[f"up_{i}_block1"] = _resnet_block(sd, f"ups.{i}.0")
+        params[f"up_{i}_block2"] = _resnet_block(sd, f"ups.{i}.1")
+        params[f"up_{i}_attn"] = _linear_attention(sd, f"ups.{i}.2.fn")
+        if is_last:
+            params[f"up_{i}_upsample"] = _conv(sd, f"ups.{i}.3")
+        else:
+            params[f"up_{i}_upsample"] = {"conv": _conv(sd, f"ups.{i}.3.1")}
+    return params

@@ -1,0 +1,42 @@
+"""Test configuration: run everything on CPU with 8 virtual devices so that
+multi-device sharding tests work without TPU hardware (SURVEY.md §4)."""
+
+import os
+
+# Must run before jax initializes its backends. NOTE: the axon TPU plugin in
+# this image ignores JAX_PLATFORMS; JAX_PLATFORM_NAME does force CPU.
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+# fp32 numerical parity with the torch reference (TPU default matmul is bf16).
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import pathlib
+import sys
+
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+REFERENCE = pathlib.Path("/root/reference")
+
+sys.path.insert(0, str(REPO))
+
+
+def reference_available() -> bool:
+    return REFERENCE.exists()
+
+
+@pytest.fixture(scope="session")
+def reference_path():
+    if not reference_available():
+        pytest.skip("reference repo not mounted")
+    if str(REFERENCE) not in sys.path:
+        sys.path.insert(0, str(REFERENCE))
+    return REFERENCE

@@ -9,4 +9,9 @@ from diffphycon_tpu.diffusion.core import (
     DiffusionConstants,
     GaussianDiffusion,
     CondSpec,
+    GuidanceSpec,
+)
+from diffphycon_tpu.diffusion.conditioning import (
+    burgers_cond_spec,
+    burgers_derive_cond,
 )

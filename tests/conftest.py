@@ -15,6 +15,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax
 
+# The axon sitecustomize imports jax at interpreter startup and pins
+# JAX_PLATFORMS=axon, so env vars alone don't stick — override the config.
+jax.config.update("jax_platforms", "cpu")
 # fp32 numerical parity with the torch reference (TPU default matmul is bf16).
 jax.config.update("jax_default_matmul_precision", "highest")
 
@@ -33,10 +36,38 @@ def reference_available() -> bool:
     return REFERENCE.exists()
 
 
+def _stub_missing_reference_deps():
+    """The reference modules import training-infra packages not present in
+    this image (ema_pytorch, tensorboardX); stub them so the numerical
+    oracles (GaussianDiffusion math, nets) remain importable."""
+    import importlib
+    import types
+
+    for name, attrs in {
+        "ema_pytorch": {"EMA": type("EMA", (), {})},
+        "tensorboardX": {"SummaryWriter": type("SummaryWriter", (), {})},
+        "torch_geometric": {},
+        "torch_geometric.data": {
+            "Dataset": type("Dataset", (), {}),
+            "Data": type("Data", (), {}),
+        },
+        "deepsnap": {},
+        "deepsnap.batch": {"Batch": type("Batch", (), {})},
+    }.items():
+        try:
+            importlib.import_module(name)
+        except ImportError:
+            mod = types.ModuleType(name)
+            for k, v in attrs.items():
+                setattr(mod, k, v)
+            sys.modules[name] = mod
+
+
 @pytest.fixture(scope="session")
 def reference_path():
     if not reference_available():
         pytest.skip("reference repo not mounted")
     if str(REFERENCE) not in sys.path:
         sys.path.insert(0, str(REFERENCE))
+    _stub_missing_reference_deps()
     return REFERENCE

@@ -1,0 +1,280 @@
+"""Diffusion core: schedule/posterior math, conditioning, prior reweighting,
+and loss parity against the reference torch implementation via stub models."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from diffphycon_tpu.diffusion import (
+    DiffusionConstants,
+    GaussianDiffusion,
+    GuidanceSpec,
+    burgers_cond_spec,
+    burgers_derive_cond,
+    make_guidance_schedule,
+)
+
+
+def _stub_apply(params, x, t):
+    """Deterministic stand-in denoiser: eps-hat = 0.1 * x + 0.01 * t."""
+    del params
+    tb = jnp.asarray(t, jnp.float32)
+    tb = tb.reshape((-1,) + (1,) * (x.ndim - 1)) if tb.ndim else tb
+    return 0.1 * x + 0.01 * tb
+
+
+def make_gd(**kw):
+    defaults = dict(
+        model_apply=_stub_apply,
+        sample_shape=(16, 128, 2),
+        timesteps=100,
+        beta_schedule="cosine",
+    )
+    defaults.update(kw)
+    return GaussianDiffusion(**defaults)
+
+
+# -- reference oracles -------------------------------------------------------
+
+
+def _torch_stub(channels=2):
+    import torch
+
+    class Stub(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.channels = channels
+            self.self_condition = False
+
+        def forward(self, x, t, sc=None, residual=None):
+            tb = t.float().reshape(-1, 1, 1, 1)
+            return 0.1 * x + 0.01 * tb
+
+    return Stub()
+
+
+def _ref_gd(reference_path, **kw):
+    from diffusion.diffusion_1d_burgers import GaussianDiffusion as RefGD
+
+    defaults = dict(
+        seq_length=(16, 128),
+        timesteps=100,
+        auto_normalize=False,
+        temporal=True,
+        use_conv2d=True,
+    )
+    defaults.update(kw)
+    model = defaults.pop("model", _torch_stub())
+    return RefGD(model, **defaults)
+
+
+def test_constants_match_reference(reference_path):
+    ref = _ref_gd(reference_path)
+    ours = DiffusionConstants.create(100, "cosine")
+    for name in [
+        "betas", "alphas_cumprod", "alphas_cumprod_prev",
+        "sqrt_alphas_cumprod", "sqrt_one_minus_alphas_cumprod",
+        "sqrt_recip_alphas_cumprod", "sqrt_recipm1_alphas_cumprod",
+        "posterior_variance", "posterior_log_variance_clipped",
+        "posterior_mean_coef1", "posterior_mean_coef2", "loss_weight",
+    ]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(ours, name)),
+            getattr(ref, name).numpy(),
+            rtol=1e-6, atol=1e-7, err_msg=name,
+        )
+
+
+def test_q_sample_parity(reference_path):
+    import torch
+
+    ref = _ref_gd(reference_path)
+    gd = make_gd()
+    rng = np.random.default_rng(0)
+    x0 = rng.normal(size=(3, 2, 16, 128)).astype(np.float32)
+    noise = rng.normal(size=x0.shape).astype(np.float32)
+    t = np.array([0, 57, 99])
+
+    ref_out = ref.q_sample(
+        torch.from_numpy(x0), torch.from_numpy(t), torch.from_numpy(noise)
+    ).numpy()
+    ours = gd.q_sample(
+        jnp.asarray(np.transpose(x0, (0, 2, 3, 1))),
+        jnp.asarray(t),
+        jnp.asarray(np.transpose(noise, (0, 2, 3, 1))),
+    )
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(ours), (0, 3, 1, 2)), ref_out, rtol=1e-5,
+        atol=1e-6,
+    )
+
+
+def test_model_predictions_parity(reference_path):
+    import torch
+
+    ref = _ref_gd(reference_path)
+    gd = make_gd()
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 2, 16, 128)).astype(np.float32)
+    t = np.array([45, 45])
+
+    ref_noise, ref_x0 = ref.model_predictions(
+        torch.from_numpy(x), torch.from_numpy(t), None,
+        clip_x_start=True, rederive_pred_noise=True,
+    )
+    pn, x0 = gd.model_predictions(
+        None, jnp.asarray(np.transpose(x, (0, 2, 3, 1))), jnp.asarray(t),
+        {}, GuidanceSpec(), clip_x_start=True, rederive_pred_noise=True,
+    )
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(pn), (0, 3, 1, 2)),
+        ref_noise.detach().numpy(), rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(x0), (0, 3, 1, 2)),
+        ref_x0.detach().numpy(), rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_two_model_reweighting_parity(reference_path):
+    """eps = eps_joint - (1 - beta) * eta * eps_w with w input/output zeroing
+    (reference diffusion_1d_burgers.py:396-409)."""
+    import torch
+
+    class StubW(torch.nn.Module):
+        channels = 2
+        self_condition = False
+
+        def forward(self, x, t, sc=None, residual=None):
+            return 0.2 * x + 0.05
+
+    ref = _ref_gd(
+        reference_path,
+        model=(_torch_stub(), StubW()),
+        eval_two_models=True,
+        prior_beta=0.3,
+    )
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(2, 2, 16, 128)).astype(np.float32)
+    t = np.array([45, 45])
+    ref_noise, _ = ref.model_predictions(
+        torch.from_numpy(x.copy()), torch.from_numpy(t), None,
+        w_scheduler=None,
+    )
+
+    def stub_w_apply(params, x, t):
+        return 0.2 * x + 0.05
+
+    gd = make_gd(
+        model_w_apply=stub_w_apply,
+        prior_beta=0.3,
+        cond=burgers_cond_spec(),
+    )
+    pn, _ = gd.model_predictions(
+        (None, None), jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+        jnp.asarray(t), {}, GuidanceSpec(),
+    )
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(pn), (0, 3, 1, 2)),
+        ref_noise.detach().numpy(), rtol=1e-4, atol=1e-5,
+    )
+
+
+@pytest.mark.parametrize("flags", [
+    dict(),
+    dict(is_condition_u0=True),
+    dict(is_condition_u0=True, is_condition_uT=True),
+    dict(is_model_w=True, is_condition_u0=True, is_condition_uT=True),
+    dict(train_on_partially_observed="front_rear_quarter"),
+    dict(train_on_padded_locations=False),
+])
+def test_p_losses_parity(reference_path, flags):
+    import torch
+
+    ref_flags = dict(flags)
+    ours_flags = dict(flags)
+    ref = _ref_gd(reference_path, **ref_flags)
+    gd = make_gd(
+        cond=burgers_cond_spec(**ours_flags),
+        is_model_w=flags.get("is_model_w", False),
+    )
+
+    rng = np.random.default_rng(3)
+    x0 = (rng.normal(size=(4, 2, 16, 128)) * 0.3).astype(np.float32)
+    noise = rng.normal(size=x0.shape).astype(np.float32)
+    t = np.array([3, 30, 70, 99])
+
+    ref_loss = ref.p_losses(
+        torch.from_numpy(x0.copy()), torch.from_numpy(t),
+        noise=torch.from_numpy(noise.copy()),
+    ).item()
+
+    x0_cl = jnp.asarray(np.transpose(x0, (0, 2, 3, 1)))
+    noise_cl = jnp.asarray(np.transpose(noise, (0, 2, 3, 1)))
+    # call the internals with fixed noise for exact parity
+    x = gd.q_sample(x0_cl, jnp.asarray(t), noise_cl)
+    cond_vals = burgers_derive_cond(x0_cl)
+    x = gd.cond.pin(x, cond_vals)
+    if gd.is_model_w:
+        x = gd.cond.w_zero_input(x, cond_vals)
+    model_out = gd.model_apply(None, x, jnp.asarray(t))
+    target = noise_cl
+    model_out = gd.cond.loss_mask_pre(model_out, target, cond_vals)
+    target = gd.cond.zero_target(target, cond_vals)
+    model_out = gd.cond.loss_mask_post(model_out, target, cond_vals)
+    loss = ((model_out - target) ** 2).reshape(4, -1).mean(1)
+    loss = (loss * gd.consts.loss_weight[jnp.asarray(t)]).mean()
+    np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-4)
+
+
+def test_p_losses_wrapper_runs():
+    gd = make_gd(cond=burgers_cond_spec(is_condition_u0=True))
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(key, (4, 16, 128, 2))
+    loss = gd.loss(None, key, x0, burgers_derive_cond(x0))
+    assert np.isfinite(float(loss))
+
+
+def test_ddpm_sampler_shapes_conditioning_determinism():
+    cond = burgers_cond_spec(is_condition_u0=True, is_condition_uT=True)
+    gd = make_gd(cond=cond, timesteps=20)
+    key = jax.random.PRNGKey(0)
+    u0 = jnp.ones((2, 128)) * 0.5
+    uT = -jnp.ones((2, 128)) * 0.25
+    cv = {"u0": u0, "uT": uT}
+    x1 = gd.sample(None, key, batch_size=2, cond_vals=cv)
+    x2 = gd.sample(None, key, batch_size=2, cond_vals=cv)
+    assert x1.shape == (2, 16, 128, 2)
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+    x3 = gd.sample(None, jax.random.PRNGKey(1), batch_size=2, cond_vals=cv)
+    assert np.abs(np.asarray(x1) - np.asarray(x3)).max() > 1e-5
+
+
+def test_ddim_sampler_runs():
+    gd = make_gd(timesteps=100, sampling_timesteps=10)
+    assert gd.is_ddim_sampling
+    x = gd.sample(None, jax.random.PRNGKey(0), batch_size=2)
+    assert x.shape == (2, 16, 128, 2)
+    assert np.isfinite(np.asarray(x)).all()
+
+
+def test_guidance_changes_samples_and_stays_finite():
+    gd = make_gd(timesteps=20)
+    sched = make_guidance_schedule("cosine", 20)
+
+    def nabla_j(x):
+        return jax.grad(lambda xx: (xx**2).sum())(x)
+
+    g = GuidanceSpec(nabla_j=nabla_j, j_schedule=sched)
+    key = jax.random.PRNGKey(0)
+    x_guided = gd.sample(None, key, batch_size=2, guidance=g)
+    x_free = gd.sample(None, key, batch_size=2)
+    assert np.isfinite(np.asarray(x_guided)).all()
+    assert np.abs(np.asarray(x_guided) - np.asarray(x_free)).max() > 1e-6
+
+
+def test_recurrence_runs():
+    gd = make_gd(timesteps=10, recurrence=True, recurrence_k=2)
+    x = gd.sample(None, jax.random.PRNGKey(0), batch_size=1)
+    assert np.isfinite(np.asarray(x)).all()

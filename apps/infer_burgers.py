@@ -135,24 +135,33 @@ def main(args):
     n, bs = args.n_test_samples, min(args.batch_size, args.n_test_samples)
     assert n % bs == 0
 
+    # jit once with params/target as arguments so big param trees are not
+    # embedded as HLO constants; guidance weights are static per (wu, wf)
+    def make_sampler(wu, wf):
+        def run(p, key, tgt):
+            guidance = bench.build_guidance(
+                cfg, tgt, wu=wu, wf=wf, wreg=args.wreg,
+                j_scheduler=args.J_scheduler, w_scheduler=args.w_scheduler,
+            )
+            cond_vals = {
+                "u0": tgt[:, 0, :] / bench.RESCALER,
+                "uT": tgt[:, 10, :] / bench.RESCALER,
+            }
+            return gd.sample(p, key, batch_size=bs, cond_vals=cond_vals,
+                             guidance=guidance)
+
+        return jax.jit(run)
+
     results = {}
     for wu in args.wus:
         for wf in args.wfs:
+            sampler = make_sampler(wu, wf)
             rows = []
             t_start = time.time()
             for i in range(n // bs):
-                tgt = u_target_all[i * bs : (i + 1) * bs]
-                guidance = bench.build_guidance(
-                    cfg, tgt, wu=wu, wf=wf, wreg=args.wreg,
-                    j_scheduler=args.J_scheduler, w_scheduler=args.w_scheduler,
-                )
-                cond_vals = {
-                    "u0": tgt[:, 0, :] / bench.RESCALER,
-                    "uT": tgt[:, 10, :] / bench.RESCALER,
-                }
+                tgt = jax.numpy.asarray(u_target_all[i * bs : (i + 1) * bs])
                 key = jax.random.PRNGKey(i)
-                x = gd.sample(all_params, key, batch_size=bs,
-                              cond_vals=cond_vals, guidance=guidance)
+                x = sampler(all_params, key, tgt)
                 res = bench.evaluate_samples(x, tgt, cfg)
                 rows.append(res)
             walltime = time.time() - t_start

@@ -48,18 +48,21 @@ def main():
         "uT": jnp.asarray(u_target[:, 10, :] / bench.RESCALER),
     }
 
+    # params must be jit ARGUMENTS (closing over them would embed 70M floats
+    # as HLO constants and blow up the compile payload)
     sample = jax.jit(
-        lambda key: gd.sample((params, params_w), key, batch_size=batch,
-                              cond_vals=cond_vals, guidance=guidance)
+        lambda p, key: gd.sample(p, key, batch_size=batch,
+                                 cond_vals=cond_vals, guidance=guidance)
     )
+    all_params = (params, params_w)
     # compile
-    x = sample(jax.random.PRNGKey(0))
+    x = sample(all_params, jax.random.PRNGKey(0))
     x.block_until_ready()
     # timed runs
     n_rep = 3
     t0 = time.time()
     for i in range(n_rep):
-        x = sample(jax.random.PRNGKey(i + 1))
+        x = sample(all_params, jax.random.PRNGKey(i + 1))
     x.block_until_ready()
     dt = (time.time() - t0) / n_rep
     steps_per_sec = cfg.timesteps / dt

@@ -1,0 +1,14 @@
+from diffphycon_tpu.physics.fluids.grids import (
+    staggered_divergence,
+    staggered_gradient,
+    staggered_at_centers,
+    staggered_at_faces,
+    advect_centered,
+    resample_linear,
+)
+from diffphycon_tpu.physics.fluids.pressure import (
+    FluidDomain,
+    masked_laplacian,
+    solve_pressure_cg,
+    divergence_free,
+)

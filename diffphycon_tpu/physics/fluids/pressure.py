@@ -1,0 +1,204 @@
+"""Obstacle-aware pressure projection: matrix-free Laplacian + CG on TPU.
+
+This is the TPU-native replacement for BOTH the reference's scipy sparse path
+(/root/reference/phi/solver/sparse.py:27-128) and its C++/CUDA custom ops
+(phi/solver/cuda/src/laplace_op.cu.cc builds the banded obstacle Laplacian,
+pressure_solve_op.cu.cc runs CG in-kernel). Instead of materializing a sparse
+matrix, the Laplacian is applied matrix-free as a masked 5-point stencil over
+the (B, H, W) pressure field — XLA fuses it into a single elementwise kernel,
+and the CG loop is a ``lax.while_loop`` compiled on device. The backward pass
+solves the adjoint system with the same CG (A is symmetric), mirroring the
+reference's custom gradient (sparse.py:106-112, cuda/cuda.py:18-19).
+
+Stencil semantics (sparse_pressure_matrix, sparse.py:46-76):
+  off-diag  coeff_upper[i] = active[i+1] * active[i]   (dropped out of range)
+  off-diag  coeff_lower[i] = active[i-1] * active[i]
+  diagonal  center[i] = min( sum_dim -(fluid[i+1] + fluid[i-1]), -1 )
+with the masks extended by the domain boundary: active padded with 0,
+fluid padded with 1 (open) / 0 (closed) (phi/flow.py:415-423).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class FluidDomain:
+    """Static masks of a simulation domain (reference FluidSimulation masks,
+    phi/flow.py:93-95,136-145).
+
+    active / fluid: (H, W) float arrays (1 = fluid/active cell, 0 = obstacle).
+    open_boundary: whether the outer domain boundary is open (pad fluid=1)
+    or closed (pad fluid=0). The smoke scenario uses open
+    (evaluate_solver.py:95 DomainBoundary([(True,True),(True,True)])).
+    """
+
+    active: np.ndarray
+    fluid: np.ndarray
+    open_boundary: bool = True
+
+    @classmethod
+    def from_obstacles(cls, shape: Tuple[int, int],
+                       obstacles: Sequence[Tuple[int, int, int, int]],
+                       open_boundary: bool = True) -> "FluidDomain":
+        """obstacles: list of (y, x, size_y, size_x) rectangles
+        (reference sim.set_obstacle((sy, sx), (y, x)), phi/flow.py:171-193)."""
+        mask = np.ones(shape, np.float32)
+        for y, x, sy, sx in obstacles:
+            mask[y : y + sy, x : x + sx] = 0.0
+        return cls(active=mask.copy(), fluid=mask.copy(),
+                   open_boundary=open_boundary)
+
+    def _pad_val(self) -> float:
+        return 1.0 if self.open_boundary else 0.0
+
+    def laplacian_coeffs(self):
+        """Precompute the 5 stencil coefficient fields (H, W) as jnp arrays."""
+        act = np.pad(self.active, 1, constant_values=0.0)
+        fld = np.pad(self.fluid, 1, constant_values=self._pad_val())
+        h, w = self.active.shape
+
+        c = act[1:-1, 1:-1]
+        up_y = act[2:, 1:-1] * c      # neighbor at y+1
+        lo_y = act[:-2, 1:-1] * c     # neighbor at y-1
+        up_x = act[1:-1, 2:] * c
+        lo_x = act[1:-1, :-2] * c
+        center = -(fld[2:, 1:-1] + fld[:-2, 1:-1]
+                   + fld[1:-1, 2:] + fld[1:-1, :-2])
+        center = np.minimum(center, -1.0)
+        # out-of-range neighbors are dropped from the matrix (sparse.py:67-74)
+        up_y[-1, :] = 0.0
+        lo_y[0, :] = 0.0
+        up_x[:, -1] = 0.0
+        lo_x[:, 0] = 0.0
+        to_j = lambda a: jnp.asarray(a, jnp.float32)
+        return (to_j(center), to_j(up_y), to_j(lo_y), to_j(up_x), to_j(lo_x))
+
+    def velocity_mask(self) -> jax.Array:
+        """Staggered velocity mask (H+1, W+1, 2): a face is open iff both
+        adjacent cells are fluid (reference
+        DomainBoundary._create_staggered_velocity_mask, phi/flow.py:456-473)."""
+        fld = np.pad(self.fluid[None, ..., None], ((0, 0), (1, 1), (1, 1), (0, 0)),
+                     constant_values=self._pad_val())
+        bcs = []
+        for d in range(2):  # y, x
+            if d == 0:
+                upper = fld[:, 1:, 1:, :]
+                lower = fld[:, :-1, 1:, :]
+            else:
+                upper = fld[:, 1:, 1:, :]
+                lower = fld[:, 1:, :-1, :]
+            bcs.append(np.minimum(upper, lower))
+        stag = np.concatenate(bcs[::-1], axis=-1)  # channel 0=x, 1=y
+        return jnp.asarray(stag[0], jnp.float32)
+
+
+def masked_laplacian(p: jax.Array, coeffs) -> jax.Array:
+    """Apply the obstacle-aware Laplacian to (B, H, W) pressure fields.
+
+    Matrix-free equivalent of A @ p with A from sparse_pressure_matrix
+    (sparse.py:27-78) — one fused stencil instead of a sparse matmul.
+    """
+    center, up_y, lo_y, up_x, lo_x = coeffs
+    out = center * p
+    out = out.at[:, :-1, :].add(up_y[:-1, :] * p[:, 1:, :])
+    out = out.at[:, 1:, :].add(lo_y[1:, :] * p[:, :-1, :])
+    out = out.at[:, :, :-1].add(up_x[:, :-1] * p[:, :, 1:])
+    out = out.at[:, :, 1:].add(lo_x[:, 1:] * p[:, :, :-1])
+    return out
+
+
+def _cg(div: jax.Array, coeffs, accuracy: float, max_iterations: int
+        ) -> Tuple[jax.Array, jax.Array]:
+    """Conjugate gradient, the reference's exact variant
+    (phi/solver/base.py:56-103): terminates when max|residual| < accuracy.
+
+    div: (B, H, W). Sums are per-batch (the reference sums over the whole
+    batch, base.py:90-95, but only ever runs batch=1; per-batch inner
+    products are the correct batched generalization).
+    """
+    bsum = lambda a: jnp.sum(a, axis=(1, 2), keepdims=True)
+
+    x = jnp.zeros_like(div)
+    momentum = div
+    residual = div
+    a_momentum = masked_laplacian(momentum, coeffs)
+
+    def cond(state):
+        _, _, _, residual, i = state
+        return (jnp.max(jnp.abs(residual)) >= accuracy) & (i < max_iterations)
+
+    def body(state):
+        x, momentum, a_momentum, residual, i = state
+        tmp = bsum(momentum * a_momentum)
+        a = bsum(momentum * residual) / tmp
+        x = x + a * momentum
+        residual = residual - a * a_momentum
+        b = -bsum(residual * a_momentum) / tmp
+        momentum = residual + b * momentum
+        a_momentum = masked_laplacian(momentum, coeffs)
+        return (x, momentum, a_momentum, residual, i + 1)
+
+    state = (x, momentum, a_momentum, residual, jnp.zeros((), jnp.int32))
+    x, _, _, residual, iters = jax.lax.while_loop(cond, body, state)
+    return x, iters
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def solve_pressure_cg(div: jax.Array, coeffs, accuracy: float = 1e-8,
+                      max_iterations: int = 500) -> jax.Array:
+    """Solve A p = div for pressure. div: (B, H, W) -> (B, H, W).
+
+    Custom VJP: gradient = CG solve of the adjoint system (A symmetric),
+    as in the reference (sparse.py:106-112)."""
+    p, _ = _cg(div, coeffs, accuracy, max_iterations)
+    return p
+
+
+def _solve_fwd(div, coeffs, accuracy, max_iterations):
+    p, _ = _cg(div, coeffs, accuracy, max_iterations)
+    return p, None
+
+
+def _solve_bwd(coeffs, accuracy, max_iterations, res, g):
+    gp, _ = _cg(g, coeffs, accuracy, max_iterations)
+    return (gp,)
+
+
+solve_pressure_cg.defvjp(_solve_fwd, _solve_bwd)
+
+
+def divergence_free(stag: jax.Array, domain: FluidDomain, coeffs=None,
+                    velocity_mask: Optional[jax.Array] = None,
+                    accuracy: float = 1e-8, max_iterations: int = 500
+                    ) -> jax.Array:
+    """Project a staggered velocity to its divergence-free part
+    (reference FluidSimulation.divergence_free, phi/flow.py:318-327):
+      v <- mask(v);  p = CG(div v);  v <- v - mask(grad p).
+
+    stag: (B, H+1, W+1, 2). Returns the projected staggered field (without
+    the caller's extra with_boundary_conditions, which get_envolve re-applies:
+    evaluate_solver.py:144-145).
+    """
+    from diffphycon_tpu.physics.fluids.grids import (
+        staggered_divergence,
+        staggered_gradient,
+    )
+
+    if coeffs is None:
+        coeffs = domain.laplacian_coeffs()
+    if velocity_mask is None:
+        velocity_mask = domain.velocity_mask()
+
+    stag = stag * velocity_mask[None]
+    div = staggered_divergence(stag)[..., 0]  # (B, H, W)
+    p = solve_pressure_cg(div, coeffs, accuracy, max_iterations)
+    gradp = staggered_gradient(p[..., None])
+    return stag - gradp * velocity_mask[None]

@@ -64,6 +64,9 @@ def build_parser():
     p.add_argument("--dim", default=64, type=int)
     p.add_argument("--resnet_block_groups", default=1, type=int)
     p.add_argument("--dim_muls", nargs="+", default=[1, 2, 4, 8], type=int)
+    # separate net hyperparams for the p(w) model (reference __model_w flags)
+    p.add_argument("--dim__model_w", default=None, type=int)
+    p.add_argument("--dim_muls__model_w", nargs="+", default=None, type=int)
 
     p.add_argument("--eval_two_models", default=False, type=eval)
     p.add_argument("--prior_beta", default=1, type=float)
@@ -125,7 +128,15 @@ def main(args):
             os.path.join(args.model_root, "burgers_w", args.exp_id__model_w),
             args.checkpoint__model_w, use_ema=args.use_ema,
         )
-        gd = bench.build_diffusion(cfg, net.apply, model_w_apply=net.apply)
+        import dataclasses as _dc
+
+        cfg_w = _dc.replace(
+            cfg,
+            dim=args.dim__model_w or args.dim,
+            dim_muls=tuple(args.dim_muls__model_w or args.dim_muls),
+        )
+        net_w = bench.build_unet(cfg_w)
+        gd = bench.build_diffusion(cfg, net.apply, model_w_apply=net_w.apply)
         all_params = (params, params_w)
     else:
         gd = bench.build_diffusion(cfg, net.apply)

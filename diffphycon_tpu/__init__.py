@@ -17,3 +17,9 @@ from scratch with a TPU-first design:
 """
 
 __version__ = "0.1.0"
+
+# NOTE on compilation caching: jax's persistent compilation cache is a no-op
+# under the axon TPU plugin in this image (compilation happens server-side via
+# remote_compile, bypassing the client-side cache), so it is intentionally not
+# enabled here. Structure long-running work so each process compiles each
+# program once (batch CLIs, jit with params as arguments).

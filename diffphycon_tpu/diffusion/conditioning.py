@@ -108,3 +108,56 @@ def burgers_derive_cond(x_start):
     """Extract {u0, uT} from a clean stacked batch (B, 16, 128, 2)
     (reference p_losses conditioning source, diffusion_1d_burgers.py:743-752)."""
     return {"u0": x_start[:, 0, :, 0], "uT": x_start[:, 10, :, 0]}
+
+
+# ---------------------------------------------------------------------------
+# Smoke (2D indirect control)
+# ---------------------------------------------------------------------------
+
+
+def smoke_cond_spec(is_w_model: bool = False) -> CondSpec:
+    """Conditioning for the smoke video DDPMs over (B, 32, 64, 64, C).
+
+    Joint model: C=6 (density, vx, vy, c1, c2, smoke-portion); the initial
+    density (frame 0, channel 0) is pinned every step and its noise target
+    zeroed (reference diffusion_2d_smoke.py:712-720, 815-816).
+
+    w model: C=2 (c1, c2) sliced by the trainer
+    (diffusion_2d_smoke.py:1016-1017); the same p_losses pins frame-0
+    channel-0 (then c1) — a reference quirk preserved here.
+
+    Two-model sampling adapters: the w model sees only channels 3:5 of the
+    joint tensor and its output is zero-embedded back
+    (diffusion_2d_smoke.py:612-615).
+    """
+
+    def pin(x, cond):
+        if "init" in cond:
+            x = x.at[:, 0, :, :, 0].set(cond["init"])
+        return x
+
+    def zero_target(target, cond):
+        return target.at[:, 0, :, :, 0].set(0.0)
+
+    def w_slice_input(x, cond):
+        # joint (B,F,H,W,6) -> w-model input (B,F,H,W,2) = (c1, c2)
+        return x[..., 3:5]
+
+    def w_embed_output(out_w, cond):
+        # (B,F,H,W,2) -> zero-padded (B,F,H,W,6) at channels 3:5
+        b, f, h, w, _ = out_w.shape
+        full = jnp.zeros((b, f, h, w, 6), out_w.dtype)
+        return full.at[..., 3:5].set(out_w)
+
+    return CondSpec(
+        pin=pin,
+        zero_target=zero_target,
+        w_zero_input=w_slice_input,
+        w_zero_output=w_embed_output,
+    )
+
+
+def smoke_derive_cond(x_start):
+    """{init}: frame-0 density from a clean batch (B, 32, 64, 64, C)
+    (reference p_losses conditioning source, diffusion_2d_smoke.py:815)."""
+    return {"init": x_start[:, 0, :, :, 0]}

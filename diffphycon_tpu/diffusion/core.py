@@ -247,6 +247,7 @@ class GaussianDiffusion:
         is_model_w: bool = False,
         prior_beta: float = 1.0,
         normalize_beta: bool = False,
+        combine_w_with_guidance: bool = False,
         guidance_u0: bool = True,
         clip_denoised: bool = True,
         recurrence: bool = False,
@@ -269,6 +270,7 @@ class GaussianDiffusion:
         self.is_model_w = is_model_w
         self.prior_beta = prior_beta
         self.normalize_beta = normalize_beta
+        self.combine_w_with_guidance = combine_w_with_guidance
         self.guidance_u0 = guidance_u0
         self.clip_denoised = clip_denoised
         self.recurrence = recurrence
@@ -327,7 +329,15 @@ class GaussianDiffusion:
 
     def _raw_eps(self, params, x, t, cond_vals, guidance: GuidanceSpec):
         """Joint-model output with optional prior reweighting
-        (reference model_predictions head, diffusion_1d_burgers.py:397-416)."""
+        (reference model_predictions head, diffusion_1d_burgers.py:397-416).
+
+        Returns (eps, eps_w): eps is the (possibly already reweighted) noise
+        prediction; eps_w is the embedded prior-model output when the
+        reweighting is deferred to the guidance step
+        (combine_w_with_guidance=True, the smoke ordering where x_start for
+        guidance is derived from the *unreweighted* joint eps,
+        diffusion_2d_smoke.py:618-638), else None.
+        """
         # nets expect a (B,) time vector; the scanned samplers carry a scalar t
         t = jnp.broadcast_to(jnp.asarray(t), (x.shape[0],))
         if self.model_w_apply is not None:
@@ -336,6 +346,8 @@ class GaussianDiffusion:
             x_w = self.cond.w_zero_input(x, cond_vals)
             out_w = self.model_w_apply(params_w, x_w, t)
             out_w = self.cond.w_zero_output(out_w, cond_vals)
+            if self.combine_w_with_guidance:
+                return out, out_w
             eta = 1.0
             if guidance.w_schedule is not None:
                 eta = _extract(guidance.w_schedule, t, x.ndim)
@@ -349,7 +361,7 @@ class GaussianDiffusion:
             out = self.cond.w_zero_output(out, cond_vals)
         else:
             out = self.model_apply(params, x, t)
-        return out
+        return out, None
 
     def model_predictions(
         self,
@@ -362,8 +374,9 @@ class GaussianDiffusion:
         rederive_pred_noise: bool = False,
     ):
         """(pred_noise, x_start) with guidance folded in when guidance_u0
-        (reference diffusion_1d_burgers.py:396-450)."""
-        model_output = self._raw_eps(params, x, t, cond_vals, guidance)
+        (reference diffusion_1d_burgers.py:396-450; the
+        combine_w_with_guidance path follows diffusion_2d_smoke.py:610-643)."""
+        model_output, eps_w = self._raw_eps(params, x, t, cond_vals, guidance)
         maybe_clip = (
             (lambda v: jnp.clip(v, -1.0, 1.0)) if clip_x_start else (lambda v: v)
         )
@@ -371,7 +384,21 @@ class GaussianDiffusion:
         if self.objective == "pred_noise":
             pred_noise = model_output
             x_start = maybe_clip(self.predict_start_from_noise(x, t, pred_noise))
-            if self.guidance_u0 and guidance.nabla_j is not None:
+            if eps_w is not None:
+                # smoke ordering: grad_final = scale*g + (gamma-1)*eps_w added
+                # together after x_start (diffusion_2d_smoke.py:628-638)
+                scale = (
+                    _extract(guidance.j_schedule, t, x.ndim)
+                    if guidance.j_schedule is not None else 1.0
+                )
+                g = (guidance.nabla_j(x_start) * scale
+                     if guidance.nabla_j is not None else 0.0)
+                grad_final = g + (self.prior_beta - 1.0) * eps_w
+                pred_noise = pred_noise + grad_final
+                x_start = maybe_clip(
+                    self.predict_start_from_noise(x, t, pred_noise)
+                )
+            elif self.guidance_u0 and guidance.nabla_j is not None:
                 scale = (
                     _extract(guidance.j_schedule, t, x.ndim)
                     if guidance.j_schedule is not None

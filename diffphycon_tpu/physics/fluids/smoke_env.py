@@ -181,7 +181,7 @@ def smoke_solver(sim: SmokeSim, init_velocity: jax.Array,
         return smoke_outs[:, 1] / (smoke_outs.sum(-1) + dz.sum((-1, -2)))
 
     rec0 = (pad128(density), pad128(density_zero), vel,
-            smoke_rate(smoke_outs, pad128(density_zero)))
+            smoke_rate(smoke_outs, pad128(density_zero)), smoke_outs)
 
     def body(carry, ctrl_t):
         vel, density, density_zero, smoke_outs = carry
@@ -192,7 +192,7 @@ def smoke_solver(sim: SmokeSim, init_velocity: jax.Array,
         density_zero, smoke_outs = _bucket_accounting(sim, density_zero,
                                                       smoke_outs)
         rec = (pad128(density), pad128(density_zero), vel,
-               smoke_rate(smoke_outs, pad128(density_zero)))
+               smoke_rate(smoke_outs, pad128(density_zero)), smoke_outs)
         return (vel, density, density_zero, smoke_outs), rec
 
     ctrl_seq = (jnp.swapaxes(c1[:, : num_t - 1], 0, 1),
@@ -206,5 +206,6 @@ def smoke_solver(sim: SmokeSim, init_velocity: jax.Array,
         "zero_densitys": stack(rec0[1], recs[1]),
         "velocitys": stack(rec0[2], recs[2]),
         "smoke_out_record": stack(rec0[3], recs[3]),
+        "bucket_mass": stack(rec0[4], recs[4]),  # (B, num_t, 7)
         "smoke_outs": carry[3],
     }

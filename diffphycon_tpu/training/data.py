@@ -85,3 +85,213 @@ class ArrayDataset:
             end = n - (n % batch_size) if drop_last else n
             for i in range(0, end, batch_size):
                 yield self.data[perm[i : i + batch_size]]
+
+
+# ---------------------------------------------------------------------------
+# Smoke dataset (reference dataset/data_2d.py:142-209)
+# ---------------------------------------------------------------------------
+
+
+def load_smoke_sim(sim_dir, size=64):
+    """Load one sim directory with Density/Velocity/Control/Smoke.npy
+    (files are (H, W, C, T) as written by the reference generator,
+    a_gen_dataset_128.py:962-994). Returns (T, H, W, 6) unscaled float32."""
+    import os
+
+    d = np.load(os.path.join(sim_dir, "Density.npy"))      # (H, W, 1, T)
+    v = np.load(os.path.join(sim_dir, "Velocity.npy"))     # (H, W, 2, T)
+    c = np.load(os.path.join(sim_dir, "Control.npy"))      # (H, W, 2, T)
+    s = np.load(os.path.join(sim_dir, "Smoke.npy"))        # (T, 8)
+    t = d.shape[-1]
+    h = d.shape[0]
+    rate = s[:, 1] / s.sum(-1)                             # target fraction
+    sp = np.broadcast_to(rate[:, None, None], (t, h, h))
+    state = np.concatenate(
+        [
+            np.transpose(d, (3, 0, 1, 2)),
+            np.transpose(v, (3, 0, 1, 2)),
+            np.transpose(c, (3, 0, 1, 2)),
+            sp[..., None],
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    return state  # (T, H, W, 6)
+
+
+def load_smoke_dataset(root, split="train", n=None, frames=32, size=64,
+                       rescale=True):
+    """Load the reference on-disk smoke layout: <root>/<split>/sim_%06d/
+    (train) or <root>/test/control/sim_%06d/ (test)
+    (reference Smoke dataset, data_2d.py:142-209). Returns (N, T, H, W, 6).
+
+    Uses the native threaded loader (native/io/npy_loader.cc) when built —
+    the replacement for the reference's 16-32 DataLoader worker processes."""
+    import os
+
+    from diffphycon_tpu.utils.native_io import (
+        load_npy_batch,
+        native_available,
+        npy_info,
+    )
+
+    base = os.path.join(root, split) if split == "train" else os.path.join(
+        root, "test", "control")
+    sims = sorted(
+        d for d in os.listdir(base) if d.startswith("sim_")
+    )
+    if n is not None:
+        sims = sims[:n]
+
+    if native_available() and sims:
+        dirs = [os.path.join(base, s) for s in sims]
+        shp_d, _ = npy_info(os.path.join(dirs[0], "Density.npy"))
+        shp_v, _ = npy_info(os.path.join(dirs[0], "Velocity.npy"))
+        shp_s, _ = npy_info(os.path.join(dirs[0], "Smoke.npy"))
+        d = load_npy_batch([os.path.join(p, "Density.npy") for p in dirs],
+                           shp_d)
+        v = load_npy_batch([os.path.join(p, "Velocity.npy") for p in dirs],
+                           shp_v)
+        c = load_npy_batch([os.path.join(p, "Control.npy") for p in dirs],
+                           shp_v)
+        s = load_npy_batch([os.path.join(p, "Smoke.npy") for p in dirs],
+                           shp_s)
+        t, h = shp_d[-1], shp_d[0]
+        rate = s[:, :, 1] / s.sum(-1)
+        sp = np.broadcast_to(rate[:, :, None, None], (len(dirs), t, h, h))
+        states = np.concatenate(
+            [
+                np.transpose(d, (0, 4, 1, 2, 3)),
+                np.transpose(v, (0, 4, 1, 2, 3)),
+                np.transpose(c, (0, 4, 1, 2, 3)),
+                sp[..., None],
+            ],
+            axis=-1,
+        ).astype(np.float32)
+    else:
+        states = np.stack([
+            load_smoke_sim(os.path.join(base, sname), size=size)
+            for sname in sims
+        ])
+
+    if split == "train":
+        states = states[:, :frames]
+        if rescale:
+            from diffphycon_tpu.benchmarks.smoke import RESCALER
+
+            states = states / RESCALER
+    return states
+
+
+# ---------------------------------------------------------------------------
+# Jellyfish dataset (reference dataset/data_2d.py:11-140)
+# ---------------------------------------------------------------------------
+
+
+def _minmax_norm(a, lo, hi):
+    return (np.clip((a - lo) / (hi - lo), 0, 1) - 0.5) * 2
+
+
+def load_jellyfish_dataset(root, split="train", n=None, frames=20,
+                           only_vis_pressure=False):
+    """Load the reference on-disk jellyfish layout:
+    <root>/{train_data,test_data}/{states,bdry_merged_mask_offsets,
+    bdry_head_thetas}/sim_%06d.npz + normalization_max_min.pkl.
+
+    Returns dict with:
+      states:  (N, 40, 64, 64, n_state) min-max normalized to [-1, 1]
+      bd:      (N, 40, 64, 64, 3) zero-padded 62->64 (reference
+               diffusion_2d_jellyfish.py:1264-1265)
+      thetas:  (N, 40)
+      norm:    the normalization dict
+    """
+    import os
+    import pickle
+
+    dirname = "train_data" if split == "train" else "test_data"
+    base = os.path.join(root, dirname)
+    with open(os.path.join(base, "normalization_max_min.pkl"), "rb") as fh:
+        norm = pickle.load(fh)
+
+    sims = sorted(
+        f for f in os.listdir(os.path.join(base, "states"))
+        if f.startswith("sim_")
+    )
+    if n is not None:
+        sims = sims[:n]
+    states, bds, thetas = [], [], []
+    for f in sims:
+        st = np.load(os.path.join(base, "states", f))["a"]  # (40, 3, 64, 64)
+        p = _minmax_norm(st[:, 2], norm["p_min"], norm["p_max"])[..., None]
+        if only_vis_pressure:
+            s = p
+        else:
+            vx = _minmax_norm(st[:, 0], norm["vx_min"], norm["vx_max"])[..., None]
+            vy = _minmax_norm(st[:, 1], norm["vy_min"], norm["vy_max"])[..., None]
+            s = np.concatenate([vx, vy, p], -1)
+        s = np.nan_to_num(s).astype(np.float32)
+
+        bd62 = np.load(
+            os.path.join(base, "bdry_merged_mask_offsets", f))["a"]
+        bd = np.zeros((bd62.shape[0], 64, 64, 3), np.float32)
+        bd[:, 1:-1, 1:-1, :] = np.nan_to_num(bd62)
+
+        th = np.load(os.path.join(base, "bdry_head_thetas", f))["thetas"]
+        states.append(s)
+        bds.append(bd)
+        thetas.append(th.astype(np.float32))
+    return {
+        "states": np.stack(states),
+        "bd": np.stack(bds),
+        "thetas": np.stack(thetas),
+        "norm": norm,
+    }
+
+
+def synthetic_jellyfish(n, out_dir, frames_total=40, seed=0):
+    """Write a synthetic jellyfish dataset in the reference layout: two
+    ellipse wings hinged at the head flapping sinusoidally; states are smooth
+    random fields correlated with the flap phase. A structural stand-in for
+    the externally generated CFD data (the reference downloads its dataset;
+    no generator is shipped)."""
+    import os
+    import pickle
+
+    rng = np.random.default_rng(seed)
+    base = out_dir
+    for sub in ["states", "bdry_merged_mask_offsets", "bdry_head_thetas"]:
+        os.makedirs(os.path.join(base, sub), exist_ok=True)
+    with open(os.path.join(base, "normalization_max_min.pkl"), "wb") as fh:
+        pickle.dump({"vx_max": 1.0, "vx_min": -1.0, "vy_max": 1.0,
+                     "vy_min": -1.0, "p_max": 1.0, "p_min": -1.0}, fh)
+
+    yy, xx = np.mgrid[0:62, 0:62]
+    head = np.array([20.0, 31.0])
+    for i in range(n):
+        amp = rng.uniform(0.2, 0.6)
+        phase = rng.uniform(0, 2 * np.pi)
+        thetas = (0.8 + amp * np.sin(
+            np.linspace(0, 2 * np.pi, frames_total) + phase)).astype(np.float32)
+        bd = np.zeros((frames_total, 62, 62, 3), np.float32)
+        states = np.zeros((frames_total, 3, 64, 64), np.float32)
+        for t in range(frames_total):
+            th = thetas[t]
+            for sgn in (+1, -1):
+                # wing center offset from head along angle sgn*theta
+                cx = head[1] + 12 * np.cos(sgn * th)
+                cy = head[0] + 12 * np.sin(sgn * th)
+                d = (((xx - cx) / 12.0) ** 2 + ((yy - cy) / 3.0) ** 2)
+                ring = np.abs(d - 1.0) < 0.25
+                bd[t, :, :, 0][ring] = 1.0
+                bd[t, :, :, 1][ring] = (xx[ring] - cx) / 62.0
+                bd[t, :, :, 2][ring] = (yy[ring] - cy) / 62.0
+            base_field = rng.normal(size=(3, 8, 8)).astype(np.float32)
+            up = np.kron(base_field, np.ones((8, 8), np.float32))
+            states[t] = np.tanh(up * 0.5) * (0.5 + 0.5 * np.sin(th))
+        np.savez_compressed(
+            os.path.join(base, "states", f"sim_{i:06d}.npz"), a=states)
+        np.savez_compressed(
+            os.path.join(base, "bdry_merged_mask_offsets", f"sim_{i:06d}.npz"),
+            a=bd)
+        np.savez_compressed(
+            os.path.join(base, "bdry_head_thetas", f"sim_{i:06d}.npz"),
+            thetas=thetas)

@@ -211,7 +211,8 @@ class Trainer:
         with open(log_path, "a") as logf:
             while step < cfg.train_num_steps:
                 batch = next(self.batch_iter)
-                batch = shard_batch(self.mesh, jnp.asarray(batch))
+                batch = shard_batch(self.mesh,
+                                    jax.tree.map(jnp.asarray, batch))
                 self._rng, key = jax.random.split(self._rng)
                 self.state, loss = self._train_step(self.state, key, batch)
                 step += 1

@@ -122,3 +122,132 @@ def convert_unet2d(state_dict: Mapping[str, np.ndarray], num_levels: int = 4) ->
         else:
             params[f"up_{i}_upsample"] = {"conv": _conv(sd, f"ups.{i}.3.1")}
     return params
+
+
+# ---------------------------------------------------------------------------
+# UNet3D (video_diffusion_pytorch_conv3d.Unet3D_with_Conv3D)
+# ---------------------------------------------------------------------------
+
+
+def _conv3d(sd, name, bias=True):
+    out = {"kernel": np.transpose(sd[f"{name}.weight"], (2, 3, 4, 1, 0))}
+    if bias:
+        out["bias"] = sd[f"{name}.bias"]
+    return out
+
+
+def _conv2d_as_3d(sd, name, bias=True):
+    """Conv2d weight (out,in,kh,kw) -> Conv3d-on-frames kernel (1,kh,kw,in,out)."""
+    w = np.transpose(sd[f"{name}.weight"], (2, 3, 1, 0))[None]
+    out = {"kernel": w}
+    if bias:
+        out["bias"] = sd[f"{name}.bias"]
+    return out
+
+
+def _gamma(sd, name):
+    return {"gamma": np.reshape(sd[f"{name}.gamma"], (-1,))}
+
+
+def _resnet_block3d(sd, prefix):
+    out = {
+        "block1": {
+            "proj": _conv3d(sd, f"{prefix}.block1.proj"),
+            "norm": _groupnorm(sd, f"{prefix}.block1.norm"),
+        },
+        "block2": {
+            "proj": _conv3d(sd, f"{prefix}.block2.proj"),
+            "norm": _groupnorm(sd, f"{prefix}.block2.norm"),
+        },
+    }
+    if f"{prefix}.mlp.1.weight" in sd:
+        out["mlp"] = _linear(sd, f"{prefix}.mlp.1")
+    if f"{prefix}.res_conv.weight" in sd:
+        out["res_conv"] = _conv3d(sd, f"{prefix}.res_conv")
+    return out
+
+
+def _temporal_attn(sd, prefix):
+    """Residual(PreNorm(EinopsToAndFrom(Attention))) at ``prefix``
+    -> (norm gamma, attention linears)."""
+    return (
+        _gamma(sd, f"{prefix}.fn.norm"),
+        {
+            "to_qkv": {"kernel": np.transpose(sd[f"{prefix}.fn.fn.fn.to_qkv.weight"])},
+            "to_out": {"kernel": np.transpose(sd[f"{prefix}.fn.fn.fn.to_out.weight"])},
+        },
+    )
+
+
+def _spatial_linear_attn3d(sd, prefix):
+    return (
+        _gamma(sd, f"{prefix}.fn.norm"),
+        {
+            "to_qkv": _conv2d_as_3d(sd, f"{prefix}.fn.fn.to_qkv", bias=False),
+            "to_out": _conv2d_as_3d(sd, f"{prefix}.fn.fn.to_out"),
+        },
+    )
+
+
+def convert_unet3d(state_dict, num_levels=3):
+    """Map a reference ``Unet3D_with_Conv3D`` state_dict
+    (model/video_diffusion_pytorch/video_diffusion_pytorch_conv3d.py:356-552)
+    to the diffphycon_tpu ``UNet3D`` param tree."""
+    sd = {
+        k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+        for k, v in state_dict.items()
+    }
+    norm, attn = _temporal_attn(sd, "init_temporal_attn")
+    params = {
+        "time_rel_pos_bias": sd["time_rel_pos_bias.relative_attention_bias.weight"],
+        "init_conv": _conv3d(sd, "init_conv"),
+        "init_attn_norm": norm,
+        "init_temporal_attn": attn,
+        "time_mlp": {
+            "fc1": _linear(sd, "time_mlp.1"),
+            "fc2": _linear(sd, "time_mlp.3"),
+        },
+        "mid_block1": _resnet_block3d(sd, "mid_block1"),
+        "mid_block2": _resnet_block3d(sd, "mid_block2"),
+        "final_block": _resnet_block3d(sd, "final_conv.0"),
+        "final_conv": _conv3d(sd, "final_conv.1"),
+    }
+    params["mid_sattn_norm"] = _gamma(sd, "mid_spatial_attn.fn.norm")
+    params["mid_sattn"] = {
+        "to_qkv": {"kernel": np.transpose(sd["mid_spatial_attn.fn.fn.fn.to_qkv.weight"])},
+        "to_out": {"kernel": np.transpose(sd["mid_spatial_attn.fn.fn.fn.to_out.weight"])},
+    }
+    norm, attn = _temporal_attn(sd, "mid_temporal_attn")
+    params["mid_tattn_norm"] = norm
+    params["mid_tattn"] = attn
+
+    for i in range(num_levels):
+        is_last = i == num_levels - 1
+        params[f"down_{i}_block1"] = _resnet_block3d(sd, f"downs.{i}.0")
+        params[f"down_{i}_block2"] = _resnet_block3d(sd, f"downs.{i}.1")
+        if f"downs.{i}.2.fn.fn.to_qkv.weight" in sd:
+            n, a = _spatial_linear_attn3d(sd, f"downs.{i}.2")
+            params[f"down_{i}_sattn_norm"] = n
+            params[f"down_{i}_sattn"] = a
+        n, a = _temporal_attn(sd, f"downs.{i}.3")
+        params[f"down_{i}_tattn_norm"] = n
+        params[f"down_{i}_tattn"] = a
+        if not is_last:
+            params[f"down_{i}_downsample"] = {"conv": _conv3d(sd, f"downs.{i}.4")}
+
+        params[f"up_{i}_block1"] = _resnet_block3d(sd, f"ups.{i}.0")
+        params[f"up_{i}_block2"] = _resnet_block3d(sd, f"ups.{i}.1")
+        if f"ups.{i}.2.fn.fn.to_qkv.weight" in sd:
+            n, a = _spatial_linear_attn3d(sd, f"ups.{i}.2")
+            params[f"up_{i}_sattn_norm"] = n
+            params[f"up_{i}_sattn"] = a
+        n, a = _temporal_attn(sd, f"ups.{i}.3")
+        params[f"up_{i}_tattn_norm"] = n
+        params[f"up_{i}_tattn"] = a
+        if not is_last:
+            # ConvTranspose3d weight (in, out, kd, kh, kw) -> (kd,kh,kw,out,in)
+            params[f"up_{i}_upsample"] = {
+                "kernel": np.transpose(sd[f"ups.{i}.4.weight"], (2, 3, 4, 1, 0)),
+                "bias": sd[f"ups.{i}.4.bias"],
+            }
+    return params

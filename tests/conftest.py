@@ -53,6 +53,9 @@ def _stub_missing_reference_deps():
         },
         "deepsnap": {},
         "deepsnap.batch": {"Batch": type("Batch", (), {})},
+        "torchvision": {},
+        "torchvision.transforms": {},
+        "torchvision.utils": {},
     }.items():
         try:
             importlib.import_module(name)
@@ -61,6 +64,58 @@ def _stub_missing_reference_deps():
             for k, v in attrs.items():
                 setattr(mod, k, v)
             sys.modules[name] = mod
+
+    _stub_rotary_and_einops_exts()
+
+
+def _stub_rotary_and_einops_exts():
+    """Faithful functional stubs for rotary_embedding_torch and einops_exts
+    (used by the reference Unet3D) so it can be instantiated as an oracle."""
+    import importlib
+    import types
+
+    try:
+        importlib.import_module("einops_exts")
+    except ImportError:
+        import einops
+
+        mod = types.ModuleType("einops_exts")
+        mod.check_shape = lambda t, pattern, **kw: t
+        mod.rearrange_many = lambda tensors, pattern, **kw: tuple(
+            einops.rearrange(t, pattern, **kw) for t in tensors
+        )
+        sys.modules["einops_exts"] = mod
+
+    try:
+        importlib.import_module("rotary_embedding_torch")
+    except ImportError:
+        import torch
+
+        class RotaryEmbedding(torch.nn.Module):
+            """lucidrains rotary_embedding_torch defaults: lang freqs,
+            interleaved-pair rotate_half, positions arange(n) on dim -2."""
+
+            def __init__(self, dim):
+                super().__init__()
+                inv = 1.0 / (10000 ** (torch.arange(0, dim, 2).float() / dim))
+                self.register_buffer("inv_freq", inv)
+
+            def rotate_queries_or_keys(self, t, seq_dim=-2):
+                n = t.shape[seq_dim]
+                pos = torch.arange(n, dtype=torch.float32, device=t.device)
+                freqs = torch.einsum("i,j->ij", pos, self.inv_freq)
+                freqs = torch.repeat_interleave(freqs, 2, dim=-1)
+                rot_dim = freqs.shape[-1]
+                t_rot, t_pass = t[..., :rot_dim], t[..., rot_dim:]
+                x = t_rot.reshape(*t_rot.shape[:-1], rot_dim // 2, 2)
+                rot_half = torch.stack([-x[..., 1], x[..., 0]], dim=-1)
+                rot_half = rot_half.reshape(t_rot.shape)
+                t_rot = t_rot * freqs.cos() + rot_half * freqs.sin()
+                return torch.cat([t_rot, t_pass], dim=-1)
+
+        mod = types.ModuleType("rotary_embedding_torch")
+        mod.RotaryEmbedding = RotaryEmbedding
+        sys.modules["rotary_embedding_torch"] = mod
 
 
 @pytest.fixture(scope="session")

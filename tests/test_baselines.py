@@ -1,0 +1,66 @@
+"""Baselines: SL adjoint control, PID, MPC — functional checks (do they
+actually improve the objective?)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from diffphycon_tpu.baselines import mpc_plan, pid_control, sl_optimize_control
+from diffphycon_tpu.physics.burgers import burgers_solve, make_burgers_data
+
+
+def _small_problem(seed=0, b=2):
+    u0, f_true = make_burgers_data(b, seed=seed)
+    traj = burgers_solve(u0, f_true, dt=1e-3)
+    return jnp.asarray(u0), jnp.asarray(np.asarray(traj))
+
+
+def test_sl_reduces_objective():
+    u0, traj = _small_problem()
+    f, hist = sl_optimize_control(u0, traj[:, -1], lr=5e-2, steps=30,
+                                  solver_dt=1e-3)
+    assert hist[-1] < hist[0] * 0.8
+    assert np.isfinite(np.asarray(f)).all()
+
+
+def test_sl_partial_control_mask():
+    u0, traj = _small_problem(1)
+    f, _ = sl_optimize_control(u0, traj[:, -1], steps=5, solver_dt=1e-3,
+                               partial_control="front_rear_quarter")
+    f = np.asarray(f)
+    assert np.abs(f[:, :, 32:96]).max() == 0.0
+
+
+def test_pid_reduces_objective():
+    u0, traj = _small_problem(2)
+    ctrl, f, out_traj, hist = pid_control(u0, traj, lr=5e-2, steps=30)
+    assert hist[-1] < hist[0]
+    assert out_traj.shape == traj.shape
+    assert np.isfinite(np.asarray(f)).all()
+
+
+def test_mpc_improves_thrust():
+    from diffphycon_tpu.benchmarks import jellyfish as bench
+
+    cfg = bench.JellyfishConfig(dim=8, frames=6, image_size=8)
+
+    def sim_apply(params, x, delta):
+        return x[..., :3] * 0.9
+
+    def force_apply(params, x):
+        # force rewards large positive mean boundary offset (channel 2)
+        return x[..., 2:3].mean(axis=(1, 2))
+
+    def bd_apply(params, bd, delta):
+        return bd + delta.reshape(-1, 1, 1, 1) * 0.1
+
+    ppl = bench.SurrogatePipeline(cfg, sim_apply, None, force_apply, None,
+                                  bd_apply, None)
+    rng = np.random.default_rng(3)
+    s0 = jnp.asarray(rng.normal(size=(2, 8, 8, 3)).astype(np.float32))
+    b0 = jnp.asarray(rng.normal(size=(2, 8, 8, 3)).astype(np.float32))
+    th0 = jnp.zeros((2,))
+    thetas, forces, hist = mpc_plan(ppl, s0, b0, th0, horizon=6, lr=5e-2,
+                                    iters=20)
+    assert hist[-1] < hist[0]
+    np.testing.assert_allclose(np.asarray(thetas[:, 0]), 0.0, atol=1e-6)

@@ -1,0 +1,332 @@
+"""Offline-RL baselines: Behavior Cloning and BPPO (behavior-proximal policy
+optimization), plus the shared policy/critic nets and replay buffer.
+
+Equivalents of /root/reference/baselines/{BC,BPPO}_burgers (bppo.py, net.py,
+critic.py, buffer.py), generic over the benchmark: states and actions are
+flat vectors (Burgers: u_t (Nx,) -> f_t (Nx,); smoke/jellyfish variants flatten
+their observations the same way).
+
+Nets (reference net.py):
+  GaussPolicyMLP: ReLU MLP, tanh head emitting (mu, log_std) with
+    soft-clamped log_std in [-5, 0].
+  ValueMLP / QMLP: ReLU MLPs with tanh heads.
+
+Training (reference critic.py / bppo.py):
+  V(s)  <- mse to the stored (discounted) return.
+  Q(s,a)<- SARSA TD target r + gamma * mask * Q_target(s', a').
+  BC    <- maximize log pi(a|s).
+  BPPO  <- clipped-ratio improvement against the frozen BC policy with
+           advantage Q(s, a~old) - V(s), entropy bonus, clip decay.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import linen as nn
+
+CONST_EPS = 1e-10
+
+
+def soft_clamp(x, low, high):
+    """(reference net.py:7-12): tanh-style rescale of a tanh output."""
+    return low + 0.5 * (high - low) * (x + 1.0)
+
+
+class MLP(nn.Module):
+    hidden_dim: int
+    depth: int
+    output_dim: int
+    final_activation: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(nn.Dense(self.hidden_dim)(x))
+        for _ in range(self.depth - 1):
+            x = nn.relu(nn.Dense(self.hidden_dim)(x))
+        x = nn.Dense(self.output_dim)(x)
+        if self.final_activation == "relu":
+            x = nn.relu(x)
+        elif self.final_activation == "tanh":
+            x = jnp.tanh(x)
+        return x
+
+
+class GaussPolicyMLP(nn.Module):
+    """(reference net.py:70-93)."""
+
+    hidden_dim: int
+    depth: int
+    action_dim: int
+
+    @nn.compact
+    def __call__(self, s):
+        out = MLP(self.hidden_dim, self.depth, 2 * self.action_dim, "tanh")(s)
+        mu, log_std = jnp.split(out, 2, axis=-1)
+        log_std = soft_clamp(log_std, -5.0, 0.0)
+        return mu, jnp.exp(log_std)
+
+
+def gauss_log_prob(mu, std, action):
+    """Diagonal normal log prob summed over action dims
+    (reference utils.log_prob_func)."""
+    lp = (-0.5 * ((action - mu) / std) ** 2 - jnp.log(std)
+          - 0.5 * jnp.log(2 * jnp.pi))
+    return lp.sum(-1, keepdims=True)
+
+
+class ValueMLP(nn.Module):
+    hidden_dim: int
+    depth: int
+
+    @nn.compact
+    def __call__(self, s):
+        return MLP(self.hidden_dim, self.depth, 1, "tanh")(s)
+
+
+class QMLP(nn.Module):
+    hidden_dim: int
+    depth: int
+
+    @nn.compact
+    def __call__(self, s, a):
+        return MLP(self.hidden_dim, self.depth, 1, "tanh")(
+            jnp.concatenate([s, a], axis=-1))
+
+
+# ---------------------------------------------------------------------------
+# replay buffer (reference buffer.py: stores (s, a, r, s', mask) and
+# discounted returns)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ReplayBuffer:
+    state: np.ndarray       # (N, state_dim)
+    action: np.ndarray      # (N, action_dim)
+    reward: np.ndarray      # (N,) immediate reward
+    ret: np.ndarray         # (N,) discounted return-to-go
+    next_state: np.ndarray
+    next_action: np.ndarray
+    mask: np.ndarray        # (N,) 0 at episode ends
+
+    @classmethod
+    def from_trajectories(cls, states, actions, rewards, gamma=0.99):
+        """states (B, T+1, D), actions (B, T, A), rewards (B, T)."""
+        b, t = rewards.shape
+        ret = np.zeros_like(rewards)
+        acc = np.zeros(b)
+        for i in range(t - 1, -1, -1):
+            acc = rewards[:, i] + gamma * acc
+            ret[:, i] = acc
+        mask = np.ones((b, t), np.float32)
+        mask[:, -1] = 0.0
+        next_action = np.concatenate(
+            [actions[:, 1:], np.zeros_like(actions[:, :1])], axis=1)
+        flat = lambda a: a.reshape(b * t, *a.shape[2:]).astype(np.float32)
+        return cls(
+            state=flat(states[:, :t]),
+            action=flat(actions),
+            reward=flat(rewards),
+            ret=flat(ret),
+            next_state=flat(states[:, 1 : t + 1]),
+            next_action=flat(next_action),
+            mask=flat(mask),
+        )
+
+    def sample(self, rng: np.random.Generator, batch_size: int):
+        idx = rng.integers(0, len(self.state), batch_size)
+        return tuple(
+            jnp.asarray(getattr(self, f)[idx])
+            for f in ("state", "action", "reward", "ret", "next_state",
+                      "next_action", "mask")
+        )
+
+
+# ---------------------------------------------------------------------------
+# learners
+# ---------------------------------------------------------------------------
+
+
+class BehaviorCloning:
+    """(reference bppo.py:10-73)."""
+
+    def __init__(self, state_dim, action_dim, hidden_dim=512, depth=2,
+                 lr=1e-4, batch_size=512, seed=0):
+        self.policy = GaussPolicyMLP(hidden_dim, depth, action_dim)
+        self.params = self.policy.init(
+            jax.random.PRNGKey(seed), jnp.zeros((1, state_dim)))
+        self.tx = optax.adam(lr)
+        self.opt_state = self.tx.init(self.params)
+        self.batch_size = batch_size
+        self._rng = np.random.default_rng(seed)
+
+        @jax.jit
+        def step(params, opt_state, s, a):
+            def loss_fn(p):
+                mu, std = self.policy.apply(p, s)
+                return -gauss_log_prob(mu, std, a).mean()
+
+            loss, g = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = self.tx.update(g, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        self._step = step
+
+    def update(self, buffer: ReplayBuffer) -> float:
+        s, a, *_ = buffer.sample(self._rng, self.batch_size)
+        self.params, self.opt_state, loss = self._step(
+            self.params, self.opt_state, s, a)
+        return float(loss)
+
+    def select_action(self, params, s, key=None):
+        mu, std = self.policy.apply(params, s)
+        if key is not None:
+            mu = mu + std * jax.random.normal(key, mu.shape)
+        return jnp.clip(mu, -1.0, 1.0)
+
+
+class ValueLearner:
+    """V(s) regression onto stored returns (reference critic.py:8-55)."""
+
+    def __init__(self, state_dim, hidden_dim=512, depth=2, lr=1e-4,
+                 batch_size=512, seed=0):
+        self.net = ValueMLP(hidden_dim, depth)
+        self.params = self.net.init(jax.random.PRNGKey(seed),
+                                    jnp.zeros((1, state_dim)))
+        self.tx = optax.adam(lr)
+        self.opt_state = self.tx.init(self.params)
+        self.batch_size = batch_size
+        self._rng = np.random.default_rng(seed)
+
+        @jax.jit
+        def step(params, opt_state, s, ret):
+            def loss_fn(p):
+                return ((self.net.apply(p, s) - ret[:, None]) ** 2).mean()
+
+            loss, g = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = self.tx.update(g, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        self._step = step
+
+    def update(self, buffer: ReplayBuffer) -> float:
+        s, _, _, ret, *_ = buffer.sample(self._rng, self.batch_size)
+        self.params, self.opt_state, loss = self._step(
+            self.params, self.opt_state, s, ret)
+        return float(loss)
+
+
+class QSarsaLearner:
+    """Q with SARSA TD target + soft target updates
+    (reference critic.py QLearner/QSarsaLearner)."""
+
+    def __init__(self, state_dim, action_dim, hidden_dim=512, depth=2,
+                 lr=1e-4, batch_size=512, gamma=0.99, tau=5e-3, seed=0):
+        self.net = QMLP(hidden_dim, depth)
+        self.params = self.net.init(
+            jax.random.PRNGKey(seed), jnp.zeros((1, state_dim)),
+            jnp.zeros((1, action_dim)))
+        self.target_params = jax.tree.map(jnp.copy, self.params)
+        self.tx = optax.adam(lr)
+        self.opt_state = self.tx.init(self.params)
+        self.batch_size = batch_size
+        self.gamma = gamma
+        self.tau = tau
+        self._rng = np.random.default_rng(seed)
+
+        @jax.jit
+        def step(params, target_params, opt_state, s, a, r, s2, a2, mask):
+            target = r[:, None] + gamma * mask[:, None] * self.net.apply(
+                target_params, s2, a2)
+            target = jax.lax.stop_gradient(target)
+
+            def loss_fn(p):
+                return ((self.net.apply(p, s, a) - target) ** 2).mean()
+
+            loss, g = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = self.tx.update(g, opt_state)
+            params = optax.apply_updates(params, updates)
+            target_params2 = jax.tree.map(
+                lambda tp, p: (1 - tau) * tp + tau * p, target_params, params)
+            return params, target_params2, opt_state, loss
+
+        self._step = step
+
+    def update(self, buffer: ReplayBuffer) -> float:
+        s, a, r, _, s2, a2, mask = buffer.sample(self._rng, self.batch_size)
+        (self.params, self.target_params, self.opt_state, loss) = self._step(
+            self.params, self.target_params, self.opt_state, s, a, r, s2, a2,
+            mask)
+        return float(loss)
+
+
+class BPPO:
+    """Behavior-proximal policy optimization (reference bppo.py:100-230):
+    starts from the BC policy and improves with a clipped-ratio objective
+    against the frozen old policy, advantage = Q(s, a~old) - V(s)."""
+
+    def __init__(self, bc: BehaviorCloning, q: QSarsaLearner, v: ValueLearner,
+                 lr=1e-4, clip_ratio=0.25, clip_decay=0.96,
+                 entropy_weight=0.0, batch_size=512, seed=0):
+        self.policy = bc.policy
+        self.params = jax.tree.map(jnp.copy, bc.params)
+        self.old_params = jax.tree.map(jnp.copy, bc.params)
+        self.q = q
+        self.v = v
+        self.tx = optax.adam(lr)
+        self.opt_state = self.tx.init(self.params)
+        self.clip_ratio = clip_ratio
+        self.clip_decay = clip_decay
+        self.entropy_weight = entropy_weight
+        self.batch_size = batch_size
+        self._rng = np.random.default_rng(seed)
+
+        policy = self.policy
+        q_net, v_net = q.net, v.net
+
+        @partial(jax.jit, static_argnames=())
+        def step(params, old_params, q_params, v_params, opt_state, s, key,
+                 clip):
+            mu_o, std_o = policy.apply(old_params, s)
+            a = mu_o + std_o * jax.random.normal(key, mu_o.shape)
+            adv = q_net.apply(q_params, s, a) - v_net.apply(v_params, s)
+            adv = (adv - adv.mean()) / (adv.std() + CONST_EPS)
+            old_lp = gauss_log_prob(mu_o, std_o, a)
+
+            def loss_fn(p):
+                mu, std = policy.apply(p, s)
+                new_lp = gauss_log_prob(mu, std, a)
+                ratio = jnp.exp(new_lp - old_lp)
+                l1 = ratio * adv
+                l2 = jnp.clip(ratio, 1 - clip, 1 + clip) * adv
+                entropy = (0.5 * (1 + jnp.log(2 * jnp.pi)) +
+                           jnp.log(std)).sum(-1, keepdims=True)
+                return -(jnp.minimum(l1, l2)
+                         + entropy * entropy_weight).mean()
+
+            loss, g = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = self.tx.update(g, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        self._step = step
+        self._key = jax.random.PRNGKey(seed)
+
+    def update(self, buffer: ReplayBuffer, is_clip_decay=True) -> float:
+        s, *_ = buffer.sample(self._rng, self.batch_size)
+        self._key, k = jax.random.split(self._key)
+        self.params, self.opt_state, loss = self._step(
+            self.params, self.old_params, self.q.params, self.v.params,
+            self.opt_state, s, k, self.clip_ratio)
+        if is_clip_decay:
+            self.clip_ratio *= self.clip_decay
+        return float(loss)
+
+    def replace_old(self):
+        self.old_params = jax.tree.map(jnp.copy, self.params)

@@ -1,0 +1,61 @@
+"""KS spectral solver and fluidformat scene IO."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from diffphycon_tpu.physics.ks import ks_solve, make_ks_data
+from diffphycon_tpu.utils.fluidformat import (
+    Scene,
+    get_fieldnames,
+    get_indices,
+    read_sim_frame,
+    read_zipped_array,
+    write_sim_frame,
+    write_zipped_array,
+)
+
+
+def test_ks_shapes_and_boundedness():
+    u0, f = make_ks_data(2, seed=0)
+    traj = ks_solve(jnp.asarray(u0), jnp.asarray(f) * 0.1)
+    assert traj.shape == (2, 11, 128)
+    assert np.isfinite(np.asarray(traj)).all()
+    # KS attractor stays bounded
+    assert float(jnp.abs(traj).max()) < 50
+
+
+def test_ks_forcing_has_effect():
+    u0, f = make_ks_data(2, seed=1)
+    t0 = ks_solve(jnp.asarray(u0), jnp.zeros_like(jnp.asarray(f)))
+    t1 = ks_solve(jnp.asarray(u0), jnp.asarray(f))
+    assert float(jnp.abs(t1 - t0).max()) > 1e-3
+
+
+def test_ks_differentiable():
+    u0, f = make_ks_data(1, seed=2)
+
+    def loss(ff):
+        return (ks_solve(jnp.asarray(u0), ff)[:, -1] ** 2).mean()
+
+    g = jax.grad(loss)(jnp.asarray(f))
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_scene_roundtrip(tmp_path):
+    arr = np.random.default_rng(0).normal(size=(8, 8, 2)).astype(np.float32)
+    p = str(tmp_path / "field.npz")
+    write_zipped_array(p, arr)
+    np.testing.assert_array_equal(read_zipped_array(p), arr)
+
+    sc = Scene.create(str(tmp_path), "smoke")
+    sc.write_sim_frame([arr, arr * 2], ["Density", "Velocity"], 3)
+    d, v = read_sim_frame(sc.path, ["Density", "Velocity"], 3)
+    np.testing.assert_array_equal(v, arr * 2)
+    assert get_fieldnames(sc.path) == ["Density", "Velocity"]
+    assert get_indices(sc.path) == [3]
+
+    sc2 = Scene.create(str(tmp_path), "smoke")
+    assert sc2.index == sc.index + 1
+    sc2.properties = {"note": "test"}
+    assert Scene.list(str(tmp_path), "smoke")[1].properties["note"] == "test"

@@ -33,6 +33,7 @@ def main():
 
     cfg = bench.BurgersConfig(
         is_condition_u0=True, is_condition_uT=True, timesteps=1000,
+        bf16=True,  # TPU-native deployment dtype (params stay fp32)
     )
     net = bench.build_unet(cfg)
     params = bench.init_params(cfg, seed=0)

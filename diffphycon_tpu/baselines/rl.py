@@ -330,3 +330,135 @@ class BPPO:
 
     def replace_old(self):
         self.old_params = jax.tree.map(jnp.copy, self.params)
+
+
+# ---------------------------------------------------------------------------
+# SAC (reference baselines/sac_burgers/scripts_SAC/sac_2d.py,
+# sac_jellyfish/pde_2d_sac_train.py): standard twin-Q soft actor-critic with
+# tanh-squashed Gaussian policy and automatic entropy tuning, trained against
+# a jittable environment step (the differentiable solver frame or a
+# surrogate operator).
+# ---------------------------------------------------------------------------
+
+
+class SAC:
+    def __init__(self, state_dim, action_dim, hidden_dim=512, depth=2,
+                 lr=3e-4, gamma=0.99, tau=5e-3, batch_size=256, seed=0,
+                 target_entropy=None):
+        self.policy = GaussPolicyMLP(hidden_dim, depth, action_dim)
+        self.q1 = QMLP(hidden_dim, depth)
+        self.q2 = QMLP(hidden_dim, depth)
+        k = jax.random.split(jax.random.PRNGKey(seed), 3)
+        s0 = jnp.zeros((1, state_dim))
+        a0 = jnp.zeros((1, action_dim))
+        self.pi_params = self.policy.init(k[0], s0)
+        self.q1_params = self.q1.init(k[1], s0, a0)
+        self.q2_params = self.q2.init(k[2], s0, a0)
+        self.q1_target = jax.tree.map(jnp.copy, self.q1_params)
+        self.q2_target = jax.tree.map(jnp.copy, self.q2_params)
+        self.log_alpha = jnp.zeros(())
+        self.target_entropy = (-float(action_dim) if target_entropy is None
+                               else target_entropy)
+        self.tx_pi = optax.adam(lr)
+        self.tx_q = optax.adam(lr)
+        self.tx_a = optax.adam(lr)
+        self.opt_pi = self.tx_pi.init(self.pi_params)
+        self.opt_q1 = self.tx_q.init(self.q1_params)
+        self.opt_q2 = self.tx_q.init(self.q2_params)
+        self.opt_a = self.tx_a.init(self.log_alpha)
+        self.gamma, self.tau = gamma, tau
+        self.batch_size = batch_size
+        self._rng = np.random.default_rng(seed)
+        self._key = jax.random.PRNGKey(seed + 1)
+        self._build()
+
+    def _sample_action(self, params, s, key):
+        mu, std = self.policy.apply(params, s)
+        eps = jax.random.normal(key, mu.shape)
+        pre = mu + std * eps
+        a = jnp.tanh(pre)
+        logp = gauss_log_prob(mu, std, pre) - jnp.log(
+            1 - a**2 + 1e-6).sum(-1, keepdims=True)
+        return a, logp
+
+    def _build(self):
+        policy, q1, q2 = self.policy, self.q1, self.q2
+        gamma, tau = self.gamma, self.tau
+        sample_action = self._sample_action
+        t_ent = self.target_entropy
+
+        @jax.jit
+        def step(state, batch, key):
+            (pi_p, q1_p, q2_p, q1_t, q2_t, log_a,
+             opt_pi, opt_q1, opt_q2, opt_a) = state
+            s, a, r, s2, mask = batch
+            k1, k2 = jax.random.split(key)
+            alpha = jnp.exp(log_a)
+
+            a2, logp2 = sample_action(pi_p, s2, k1)
+            tq = jnp.minimum(q1.apply(q1_t, s2, a2), q2.apply(q2_t, s2, a2))
+            target = r[:, None] + gamma * mask[:, None] * (
+                tq - alpha * logp2)
+            target = jax.lax.stop_gradient(target)
+
+            def q_loss(p, net):
+                return ((net.apply(p, s, a) - target) ** 2).mean()
+
+            l1, g1 = jax.value_and_grad(lambda p: q_loss(p, q1))(q1_p)
+            u1, opt_q1 = self.tx_q.update(g1, opt_q1)
+            q1_p = optax.apply_updates(q1_p, u1)
+            l2, g2 = jax.value_and_grad(lambda p: q_loss(p, q2))(q2_p)
+            u2, opt_q2 = self.tx_q.update(g2, opt_q2)
+            q2_p = optax.apply_updates(q2_p, u2)
+
+            def pi_loss(p):
+                an, logp = sample_action(p, s, k2)
+                qv = jnp.minimum(q1.apply(q1_p, s, an),
+                                 q2.apply(q2_p, s, an))
+                return (alpha * logp - qv).mean(), logp
+
+            (lp, logp), gp = jax.value_and_grad(pi_loss, has_aux=True)(pi_p)
+            up, opt_pi = self.tx_pi.update(gp, opt_pi)
+            pi_p = optax.apply_updates(pi_p, up)
+
+            def a_loss(la):
+                return (-jnp.exp(la) * jax.lax.stop_gradient(
+                    logp + t_ent)).mean()
+
+            _, ga = jax.value_and_grad(a_loss)(log_a)
+            ua, opt_a = self.tx_a.update(ga, opt_a)
+            log_a = optax.apply_updates(log_a, ua)
+
+            q1_t = jax.tree.map(lambda t, p: (1 - tau) * t + tau * p, q1_t,
+                                q1_p)
+            q2_t = jax.tree.map(lambda t, p: (1 - tau) * t + tau * p, q2_t,
+                                q2_p)
+            return ((pi_p, q1_p, q2_p, q1_t, q2_t, log_a, opt_pi, opt_q1,
+                     opt_q2, opt_a), (l1 + l2, lp))
+
+        self._step = step
+
+    @property
+    def _state(self):
+        return (self.pi_params, self.q1_params, self.q2_params,
+                self.q1_target, self.q2_target, self.log_alpha, self.opt_pi,
+                self.opt_q1, self.opt_q2, self.opt_a)
+
+    def _set_state(self, st):
+        (self.pi_params, self.q1_params, self.q2_params, self.q1_target,
+         self.q2_target, self.log_alpha, self.opt_pi, self.opt_q1,
+         self.opt_q2, self.opt_a) = st
+
+    def update(self, buffer: ReplayBuffer):
+        s, a, r, _, s2, _, mask = buffer.sample(self._rng, self.batch_size)
+        self._key, k = jax.random.split(self._key)
+        st, (ql, pl) = self._step(self._state, (s, a, r, s2, mask), k)
+        self._set_state(st)
+        return float(ql), float(pl)
+
+    def select_action(self, s, key=None):
+        if key is None:
+            mu, _ = self.policy.apply(self.pi_params, s)
+            return jnp.tanh(mu)
+        a, _ = self._sample_action(self.pi_params, s, key)
+        return a

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from diffphycon_tpu.diffusion.core import DiffusionConstants, _extract
+from diffphycon_tpu.diffusion.core import DiffusionConstants, _extract, _extract1
 from diffphycon_tpu.nets.unet2dv2 import ForceUNet, UNet2Dv2
 from diffphycon_tpu.nets.unet3d import UNet3D
 
@@ -95,6 +95,23 @@ def build_simulator_unet(cfg: JellyfishConfig) -> UNet2Dv2:
                     dim_mults=(1, 2, 4, 8), channels=cfg.n_state + 3)
 
 
+
+
+def _frame_mask(x, f0: int, f1: int):
+    """(1, F, 1, 1, 1) mask for frames [f0, f1). Fused-arithmetic frame
+    pinning — integer-indexed .at[].set() updates stall the TPU pipeline
+    inside scan bodies (see diffusion/conditioning.py performance note)."""
+    ff = jnp.arange(x.shape[1])
+    m = ((ff >= f0) & (ff < f1)).astype(x.dtype)
+    return m.reshape((1, -1) + (1,) * (x.ndim - 2))
+
+
+def _pin_frames(x, value, f0: int, f1: int):
+    """x with frames [f0, f1) replaced by (broadcastable) value."""
+    m = _frame_mask(x, f0, f1)
+    return x * (1 - m) + value * m
+
+
 # ---------------------------------------------------------------------------
 # diffusion core
 # ---------------------------------------------------------------------------
@@ -143,9 +160,9 @@ class JellyfishDiffusion:
         )
         state = self.q_sample(state0, t, noise)
         if cfg.cond_steps > 0:
-            state = state.at[:, : cfg.cond_steps].set(
-                state0[:, : cfg.cond_steps])
-            noise = noise.at[:, : cfg.cond_steps].set(0.0)
+            cs = cfg.cond_steps
+            state = _pin_frames(state, state0, 0, cs)
+            noise = noise * (1 - _frame_mask(noise, 0, cs))
 
         def energy(s):
             x = jnp.concatenate([s, bd0, theta_plane], axis=-1)
@@ -171,9 +188,10 @@ class JellyfishDiffusion:
         if cfg.cond_steps > 0:
             state_cond = jnp.broadcast_to(
                 state0[:, : cfg.cond_steps][:, :1], state0.shape)
-            bd = bd.at[:, : cfg.cond_steps].set(bd0[:, : cfg.cond_steps])
-            noise_th = noise_th.at[:, : cfg.cond_steps].set(0.0)
-            noise_th = noise_th.at[:, -cfg.cond_steps :].set(0.0)
+            cs = cfg.cond_steps
+            bd = _pin_frames(bd, bd0, 0, cs)
+            noise_th = noise_th * (1 - _frame_mask(noise_th, 0, cs))
+            noise_th = noise_th * (1 - _frame_mask(noise_th, f - cs, f))
         else:
             state_cond = state0
         x = jnp.concatenate([state_cond, bd, theta], axis=-1)
@@ -231,10 +249,10 @@ class JellyfishDiffusion:
 
         cs = cfg.cond_steps
         if cs > 0:
-            noise_state = noise_state.at[:, :cs].set(state_0[:, None])
-            noise_bd = noise_bd.at[:, :cs].set(bd_0[:, None])
-            noise_th = noise_th.at[:, :cs].set(thetas_0_expand)
-            noise_th = noise_th.at[:, -cs:].set(thetas_0_expand)
+            noise_state = _pin_frames(noise_state, state_0[:, None], 0, cs)
+            noise_bd = _pin_frames(noise_bd, bd_0[:, None], 0, cs)
+            noise_th = _pin_frames(noise_th, thetas_0_expand, 0, cs)
+            noise_th = _pin_frames(noise_th, thetas_0_expand, f - cs, f)
 
         x = jnp.concatenate([noise_state, noise_bd, noise_th], axis=-1)
 
@@ -257,8 +275,8 @@ class JellyfishDiffusion:
                 if cfg.design_guidance == "standard":
                     grad_final = sfr * g + (cfg.w_prob_exp - 1.0) * eps_w
                 else:
-                    grad_final = (eta_J_sched[t] * g
-                                  - eta_w_sched[t] * eps_w)
+                    grad_final = (_extract(eta_J_sched, t, 5) * g
+                                  - _extract(eta_w_sched, t, 5) * eps_w)
                 eps_joint = eps_joint + grad_final
             return eps_joint, eps_w, x_start, x4
 
@@ -270,13 +288,13 @@ class JellyfishDiffusion:
             pred_bd = self._update_bd(params_bd, pred_theta_expand,
                                       bd_0_expand, thetas_0)
             if cs > 0:
-                pred_states = pred_states.at[:, :cs].set(state_0[:, None])
-                pred_bd = pred_bd.at[:, :cs].set(bd_0[:, None])
-                pred_bd = pred_bd.at[:, -cs:].set(bd_0[:, None])
-                pred_theta_expand = pred_theta_expand.at[:, :cs].set(
-                    thetas_0_expand)
-                pred_theta_expand = pred_theta_expand.at[:, -cs:].set(
-                    thetas_0_expand)
+                pred_states = _pin_frames(pred_states, state_0[:, None], 0, cs)
+                pred_bd = _pin_frames(pred_bd, bd_0[:, None], 0, cs)
+                pred_bd = _pin_frames(pred_bd, bd_0[:, None], f - cs, f)
+                pred_theta_expand = _pin_frames(
+                    pred_theta_expand, thetas_0_expand, 0, cs)
+                pred_theta_expand = _pin_frames(
+                    pred_theta_expand, thetas_0_expand, f - cs, f)
             else:
                 # repaint-style noisy conditioning (reference :867-875)
                 tb = jnp.full((b,), t_for_repaint, jnp.int32)
@@ -290,10 +308,11 @@ class JellyfishDiffusion:
                     thetas_0[:, None, None, None, None], (b, 1, h, h, 1))
                 th0t = self.q_sample(
                     th0, tb, jax.random.normal(krt, th0.shape))
-                pred_states = pred_states.at[:, :1].set(s0t)
-                pred_bd = pred_bd.at[:, :1].set(b0t)
-                pred_theta_expand = pred_theta_expand.at[:, :1].set(th0t)
-                pred_theta_expand = pred_theta_expand.at[:, -1:].set(th0t)
+                pred_states = _pin_frames(pred_states, s0t, 0, 1)
+                pred_bd = _pin_frames(pred_bd, b0t, 0, 1)
+                pred_theta_expand = _pin_frames(pred_theta_expand, th0t, 0, 1)
+                pred_theta_expand = _pin_frames(pred_theta_expand, th0t,
+                                                f - 1, f)
             x_new = jnp.concatenate(
                 [pred_states, pred_bd, pred_theta_expand], axis=-1)
             return x_new, pred_states, pred_theta_expand
@@ -309,7 +328,7 @@ class JellyfishDiffusion:
                 x_start = jnp.clip(x_start, -1.0, 1.0)
                 mean, log_var = self.q_posterior(x_start, x4, t)
                 noise = jax.random.normal(k_noise, x4.shape)
-                noise = jnp.where(t > 0, noise, 0.0)
+                noise = noise * (t > 0).astype(noise.dtype)
                 pred = mean + jnp.exp(0.5 * log_var) * noise
                 if (not cfg.use_guidance_in_model_predictions
                         and design_fn is not None):
@@ -317,8 +336,8 @@ class JellyfishDiffusion:
                     if cfg.design_guidance == "standard":
                         grad_final = sfr * g - sfr * eps_w
                     else:
-                        grad_final = (eta_J_sched[t] * g
-                                      - eta_w_sched[t] * eps_w)
+                        grad_final = (_extract(eta_J_sched, t, 5) * g
+                                      - _extract(eta_w_sched, t, 5) * eps_w)
                     pred = pred - grad_final
                 x_new, ps, pt = postprocess(pred, t, k_rp)
                 return x_new, None
@@ -339,8 +358,10 @@ class JellyfishDiffusion:
                 k_noise, k_rp = jax.random.split(kk)
                 # DDIM always uses in-model guidance (reference :927-928)
                 eps, eps_w, x_start, x4 = model_predictions(x, t, True)
-                alpha = c.alphas_cumprod[t]
-                alpha_next = jnp.where(tn >= 0, c.alphas_cumprod[tn], 1.0)
+                alpha = _extract1(c.alphas_cumprod, t)
+                alpha_next = jnp.where(
+                    tn >= 0, _extract1(c.alphas_cumprod, jnp.maximum(tn, 0)),
+                    1.0)
                 sigma = eta * jnp.sqrt(jnp.clip(
                     (1 - alpha / alpha_next) * (1 - alpha_next) / (1 - alpha),
                     0.0, None))
@@ -348,7 +369,8 @@ class JellyfishDiffusion:
                 noise = jax.random.normal(k_noise, x4.shape)
                 pred = (x_start * jnp.sqrt(alpha_next) + coef * eps
                         + sigma * noise)
-                pred = jnp.where(tn < 0, x_start, pred)
+                last = (tn < 0).astype(pred.dtype)
+                pred = last * x_start + (1 - last) * pred
                 x_new, ps, pt = postprocess(pred, t, k_rp)
                 return x_new, None
 

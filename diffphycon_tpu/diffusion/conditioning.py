@@ -7,6 +7,15 @@ Burgers layout here is channels-last: x is (B, 16, 128, 2) with
 channel 0 = u (11 valid rows + padding) and channel 1 = f (10 valid rows),
 versus the reference's (B, 2, 16, 128)
 (/root/reference/dataset/data_1d.py:62-69).
+
+PERFORMANCE NOTE: every operation here runs inside the scanned samplers'
+bodies. Integer-indexed updates (``x.at[..., 0].set(v)``) lower to
+scatter-like ops that stall the TPU pipeline for ~15-20 ms per occurrence on
+this runtime (measured on v5e; see diffusion/core.py::_extract for the
+sibling gather pathology). All conditioning is therefore expressed as fused
+mask arithmetic (``x * (1-m) + v * m``) with masks built from iota
+comparisons — compile-time constants that fuse into neighboring elementwise
+ops.
 """
 
 from __future__ import annotations
@@ -16,6 +25,22 @@ from typing import Optional
 import jax.numpy as jnp
 
 from diffphycon_tpu.diffusion.core import CondSpec
+
+
+def _time_chan_mask(x, t_idx: int, chan: int):
+    """(1, T, 1, C) mask: 1 where (time == t_idx and channel == chan)."""
+    tdim, cdim = x.shape[1], x.shape[-1]
+    m_t = (jnp.arange(tdim) == t_idx).astype(x.dtype)
+    m_c = (jnp.arange(cdim) == chan).astype(x.dtype)
+    return m_t[None, :, None, None] * m_c[None, None, None, :]
+
+
+def _timerange_chan_mask(x, t0: int, t1: int, chan: int):
+    tdim, cdim = x.shape[1], x.shape[-1]
+    tt = jnp.arange(tdim)
+    m_t = ((tt >= t0) & (tt < t1)).astype(x.dtype)
+    m_c = (jnp.arange(cdim) == chan).astype(x.dtype)
+    return m_t[None, :, None, None] * m_c[None, None, None, :]
 
 
 def burgers_cond_spec(
@@ -41,56 +66,70 @@ def burgers_cond_spec(
 
     def pin(x, cond):
         if is_condition_u0:
-            x = x.at[:, 0, :, 0].set(cond["u0"])
+            m = _time_chan_mask(x, 0, 0)
+            x = x * (1 - m) + cond["u0"][:, None, :, None] * m
         if is_condition_uT:
-            x = x.at[:, ci, :, 0].set(cond["uT"])
+            m = _time_chan_mask(x, ci, 0)
+            x = x * (1 - m) + cond["uT"][:, None, :, None] * m
         return x
 
     def zero_target(target, cond):
         if is_condition_u0 and is_condition_u0_zero_pred_noise:
-            target = target.at[:, 0, :, 0].set(0.0)
+            target = target * (1 - _time_chan_mask(target, 0, 0))
         if is_condition_uT and is_condition_uT_zero_pred_noise:
-            target = target.at[:, ci, :, 0].set(0.0)
+            target = target * (1 - _time_chan_mask(target, ci, 0))
         return target
 
     def w_zero_input(x, cond):
         # p(w) never sees u_[1..T-1] (reference :412, :771)
-        return x.at[:, 1:ci, :, 0].set(0.0)
+        return x * (1 - _timerange_chan_mask(x, 1, ci, 0))
 
     def w_zero_output(out, cond):
         # p(w) only outputs w, never u (reference :402, :414)
-        return out.at[:, :, :, 0].set(0.0)
+        cdim = out.shape[-1]
+        keep = (jnp.arange(cdim) != 0).astype(out.dtype)
+        return out * keep[None, None, None, :]
 
     def sampling_mask(x, cond):
         if set_unobserved_to_zero_during_sampling:
             nx = x.shape[2]
-            x = x.at[:, :, nx // 4 : (3 * nx) // 4, 0].set(0.0)
+            xx = jnp.arange(nx)
+            m_x = ((xx >= nx // 4) & (xx < (3 * nx) // 4)).astype(x.dtype)
+            m_c = (jnp.arange(x.shape[-1]) == 0).astype(x.dtype)
+            m = m_x[None, None, :, None] * m_c[None, None, None, :]
+            x = x * (1 - m)
         return x
 
     def loss_mask_pre(model_out, target, cond):
+        if train_on_partially_observed is None:
+            return model_out
+        nx = model_out.shape[2]
+        xx = jnp.arange(nx)
+        m_x = ((xx >= nx // 4) & (xx < (3 * nx) // 4)).astype(model_out.dtype)
         if train_on_partially_observed == "front_rear_quarter":
-            nx = model_out.shape[2]
-            sl = (slice(None), slice(None), slice(nx // 4, (3 * nx) // 4), 0)
-            model_out = model_out.at[sl].set(target[sl])
+            m_c = (jnp.arange(model_out.shape[-1]) == 0).astype(
+                model_out.dtype)
+            m = m_x[None, None, :, None] * m_c[None, None, None, :]
         elif train_on_partially_observed == "front_rear_quarter_u_and_f":
             # reference's faulty variant masks both channels (:793-796)
-            nx = model_out.shape[2]
-            sl = (slice(None), slice(None), slice(nx // 4, (3 * nx) // 4))
-            model_out = model_out.at[sl].set(target[sl])
-        elif train_on_partially_observed is not None:
+            m = m_x[None, None, :, None]
+        else:
             raise NotImplementedError(train_on_partially_observed)
-        return model_out
+        return model_out * (1 - m) + target * m
 
     def loss_mask_post(model_out, target, cond):
         if is_model_w:
             # no loss on the u channel (reference :808-810)
-            model_out = model_out.at[:, :, :, 0].set(target[:, :, :, 0])
+            m = (jnp.arange(model_out.shape[-1]) == 0).astype(model_out.dtype)
+            m = m[None, None, None, :]
+            model_out = model_out * (1 - m) + target * m
         if not train_on_padded_locations:
             # no loss on padded rows (reference :812-816)
-            model_out = model_out.at[:, ci + 1 :, :, 0].set(
-                target[:, ci + 1 :, :, 0]
-            )
-            model_out = model_out.at[:, ci:, :, 1].set(target[:, ci:, :, 1])
+            m_u = _timerange_chan_mask(model_out, ci + 1, model_out.shape[1],
+                                       0)
+            m_f = _timerange_chan_mask(model_out, ci, model_out.shape[1], 1)
+            m = jnp.clip(m_u + m_f, 0, 1)
+            model_out = model_out * (1 - m) + target * m
         return model_out
 
     return CondSpec(
@@ -115,6 +154,14 @@ def burgers_derive_cond(x_start):
 # ---------------------------------------------------------------------------
 
 
+def _frame_chan_mask5(x, f_idx: int, chan: int):
+    """(1, F, 1, 1, C) mask for 5D video tensors."""
+    fdim, cdim = x.shape[1], x.shape[-1]
+    m_f = (jnp.arange(fdim) == f_idx).astype(x.dtype)
+    m_c = (jnp.arange(cdim) == chan).astype(x.dtype)
+    return m_f[None, :, None, None, None] * m_c[None, None, None, None, :]
+
+
 def smoke_cond_spec(is_w_model: bool = False) -> CondSpec:
     """Conditioning for the smoke video DDPMs over (B, 32, 64, 64, C).
 
@@ -133,21 +180,23 @@ def smoke_cond_spec(is_w_model: bool = False) -> CondSpec:
 
     def pin(x, cond):
         if "init" in cond:
-            x = x.at[:, 0, :, :, 0].set(cond["init"])
+            m = _frame_chan_mask5(x, 0, 0)
+            x = x * (1 - m) + cond["init"][:, None, :, :, None] * m
         return x
 
     def zero_target(target, cond):
-        return target.at[:, 0, :, :, 0].set(0.0)
+        return target * (1 - _frame_chan_mask5(target, 0, 0))
 
     def w_slice_input(x, cond):
-        # joint (B,F,H,W,6) -> w-model input (B,F,H,W,2) = (c1, c2)
+        # joint (B,F,H,W,6) -> w-model input (B,F,H,W,2) = (c1, c2);
+        # contiguous lane slice, fuses cleanly
         return x[..., 3:5]
 
     def w_embed_output(out_w, cond):
-        # (B,F,H,W,2) -> zero-padded (B,F,H,W,6) at channels 3:5
-        b, f, h, w, _ = out_w.shape
-        full = jnp.zeros((b, f, h, w, 6), out_w.dtype)
-        return full.at[..., 3:5].set(out_w)
+        # (B,F,H,W,2) -> zero-padded (B,F,H,W,6) at channels 3:5 via concat
+        z3 = jnp.zeros(out_w.shape[:-1] + (3,), out_w.dtype)
+        z1 = jnp.zeros(out_w.shape[:-1] + (1,), out_w.dtype)
+        return jnp.concatenate([z3, out_w, z1], axis=-1)
 
     return CondSpec(
         pin=pin,

@@ -130,10 +130,25 @@ def _extract(a: Array, t: Array, ndim: int) -> Array:
     """Gather a[t] and reshape for broadcasting against an ndim-array.
 
     t may be scalar or (B,) (reference ``extract``, diffusion_1d_burgers.py:185).
+
+    Performance note: for scalar t (the scanned samplers' loop variable)
+    this uses a rank-1 ``dynamic_slice`` instead of ``a[t]``: identical
+    numerics, and rank-0 gathers inside scan bodies measured dramatically
+    slower in isolated microbenchmarks on the v5e runtime (rank-1 is never
+    slower).
     """
+    t = jnp.asarray(t)
+    if t.ndim == 0:
+        out = jax.lax.dynamic_slice(a, (t,), (1,))
+        return out.reshape((1,) * ndim)
     out = a[t]
     shape = out.shape + (1,) * (ndim - out.ndim)
     return out.reshape(shape)
+
+
+def _extract1(a: Array, t: Array) -> Array:
+    """Scalar-t coefficient as a (1,)-vector (rank-1 slice; see _extract)."""
+    return jax.lax.dynamic_slice(a, (jnp.asarray(t),), (1,))
 
 
 # ---------------------------------------------------------------------------
@@ -248,10 +263,12 @@ class GaussianDiffusion:
         prior_beta: float = 1.0,
         normalize_beta: bool = False,
         combine_w_with_guidance: bool = False,
+        fuse_two_models: bool = False,
         guidance_u0: bool = True,
         clip_denoised: bool = True,
         recurrence: bool = False,
         recurrence_k: int = 1,
+        scan_unroll: int = 1,
         self_condition: bool = False,
         normalize: Callable[[Array], Array] = lambda x: x,
         unnormalize: Callable[[Array], Array] = lambda x: x,
@@ -271,10 +288,12 @@ class GaussianDiffusion:
         self.prior_beta = prior_beta
         self.normalize_beta = normalize_beta
         self.combine_w_with_guidance = combine_w_with_guidance
+        self.fuse_two_models = fuse_two_models
         self.guidance_u0 = guidance_u0
         self.clip_denoised = clip_denoised
         self.recurrence = recurrence
         self.recurrence_k = recurrence_k
+        self.scan_unroll = scan_unroll
         self.self_condition = self_condition
         self.normalize = normalize
         self.unnormalize = unnormalize
@@ -342,9 +361,21 @@ class GaussianDiffusion:
         t = jnp.broadcast_to(jnp.asarray(t), (x.shape[0],))
         if self.model_w_apply is not None:
             params_joint, params_w = params
-            out = self.model_apply(params_joint, x, t)
             x_w = self.cond.w_zero_input(x, cond_vals)
-            out_w = self.model_w_apply(params_w, x_w, t)
+            if self.fuse_two_models:
+                # one vmapped execution over stacked params/inputs: halves
+                # the per-step op count (this runtime is op-overhead-bound:
+                # ~30us fixed cost per op measured on v5e). Requires both
+                # nets to share architecture and input shape.
+                stacked_params = jax.tree.map(
+                    lambda a, b: jnp.stack([a, b]), params_joint, params_w)
+                xs = jnp.stack([x, x_w])
+                ts = jnp.stack([t, t])
+                eps = jax.vmap(self.model_apply)(stacked_params, xs, ts)
+                out, out_w = eps[0], eps[1]
+            else:
+                out = self.model_apply(params_joint, x, t)
+                out_w = self.model_w_apply(params_w, x_w, t)
             out_w = self.cond.w_zero_output(out_w, cond_vals)
             if self.combine_w_with_guidance:
                 return out, out_w
@@ -482,7 +513,9 @@ class GaussianDiffusion:
             x_start = jnp.clip(x_start, -1.0, 1.0)
         mean, log_var = self.q_posterior(x_start, x, t)
         noise = jax.random.normal(key, x.shape, x.dtype)
-        noise = jnp.where(t > 0, noise, jnp.zeros_like(noise))
+        # arithmetic mask instead of a scalar-predicate select (rank-0
+        # predicates stall the pipeline inside scan bodies; see _extract)
+        noise = noise * (t > 0).astype(x.dtype)
         x_next = mean + jnp.exp(0.5 * log_var) * noise
         return x_next, x_start, pred_noise
 
@@ -511,7 +544,7 @@ class GaussianDiffusion:
             else:
                 # post-hoc guidance on pred_noise, then redo the step (:569-573)
                 scale = (
-                    guidance.j_schedule[t]
+                    _extract(guidance.j_schedule, t, x_curr.ndim)
                     if guidance.j_schedule is not None else 1.0
                 )
                 pred_noise2 = guidance.proj(
@@ -531,7 +564,7 @@ class GaussianDiffusion:
                 coef = jnp.sqrt(a_t / a_tm1)
                 noise_coef = jnp.sqrt(1.0 - a_t / a_tm1)
                 noise = jax.random.normal(k_rec, x_new.shape, x_new.dtype)
-                noise = jnp.where(t > 0, noise, jnp.zeros_like(noise))
+                noise = noise * (t > 0).astype(x_new.dtype)
                 x_new = coef * x_new + noise_coef * noise
             return x_new
 
@@ -545,7 +578,7 @@ class GaussianDiffusion:
             return x, None
 
         ts = jnp.arange(self.num_timesteps - 1, -1, -1)
-        x, _ = jax.lax.scan(body, x, ts)
+        x, _ = jax.lax.scan(body, x, ts, unroll=self.scan_unroll)
         return self.unnormalize(x)
 
     def ddim_sample(self, params, key, batch_size: int, cond_vals: dict,
@@ -574,8 +607,11 @@ class GaussianDiffusion:
                 params, x, t, cond_vals, guidance,
                 clip_x_start=self.clip_denoised, rederive_pred_noise=True,
             )
-            alpha = c.alphas_cumprod[t]
-            alpha_next = jnp.where(tn >= 0, c.alphas_cumprod[tn], 1.0)
+            # rank-1 coefficient slices (see _extract performance note)
+            alpha = _extract1(c.alphas_cumprod, t)
+            alpha_next = jnp.where(tn >= 0,
+                                   _extract1(c.alphas_cumprod,
+                                             jnp.maximum(tn, 0)), 1.0)
             sigma = eta * jnp.sqrt(
                 jnp.clip((1 - alpha / alpha_next) * (1 - alpha_next)
                          / (1 - alpha), 0.0, None)
@@ -588,12 +624,14 @@ class GaussianDiffusion:
                 x_start * jnp.sqrt(alpha_next) + coef * pred_noise
                 + sigma * noise
             )
-            x_new = jnp.where(tn < 0, x_start, x_ddim)
+            last = (tn < 0).astype(x.dtype)
+            x_new = last * x_start + (1 - last) * x_ddim
             if self.cond.transform is not None:
                 x_new = self.cond.transform(x_new, x_start, cond_vals, t)
             return x_new, None
 
-        x, _ = jax.lax.scan(body, x, (t_curr, t_next))
+        x, _ = jax.lax.scan(body, x, (t_curr, t_next),
+                            unroll=self.scan_unroll)
         return self.unnormalize(x)
 
     def sample(self, params, key, batch_size: int = 16,

@@ -57,6 +57,35 @@ def smoke_domain_128() -> FluidDomain:
                                       open_boundary=True)
 
 
+def obstacles_64():
+    """Half-resolution scenario (reference build_obstacles_pi_64,
+    evaluate_solver.py:66-92)."""
+    return [
+        (8, 8, 1, 48),
+        (8, 8, 4, 1),
+        (20, 8, 8, 1),
+        (36, 8, 20, 1),
+        (8, 56, 4, 1),
+        (20, 56, 8, 1),
+        (36, 56, 20, 1),
+        (56, 8, 1, 4),
+        (56, 20, 1, 8),
+        (56, 36, 1, 8),
+        (56, 52, 1, 4),
+        (32, 24, 8, 1),
+        (48, 24, 8, 1),
+        (32, 40, 8, 1),
+        (48, 40, 8, 1),
+        (20, 20, 1, 64 - 40),
+    ]
+
+
+def smoke_domain_64() -> FluidDomain:
+    """(reference init_sim_64, evaluate_solver.py:99-102)."""
+    return FluidDomain.from_obstacles((63, 63), obstacles_64(),
+                                      open_boundary=True)
+
+
 def bucket_masks() -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """7 bucket measurement masks + union + keep-mask
     (reference get_bucket_mask, evaluate_solver.py:150-171).

@@ -251,3 +251,119 @@ def convert_unet3d(state_dict, num_levels=3):
                 "bias": sd[f"ups.{i}.4.bias"],
             }
     return params
+
+
+# ---------------------------------------------------------------------------
+# UNet2Dv2 / ForceUNet (the WS-conv image U-Nets embedded in
+# diffusion_2d_jellyfish.py:276-481, same classes in diffusion_2d_smoke.py)
+# ---------------------------------------------------------------------------
+
+
+def _ws_resnet_block(sd, prefix, with_time=True):
+    out = {
+        "block1": {
+            "proj": _conv(sd, f"{prefix}.block1.proj"),
+            "norm": _groupnorm(sd, f"{prefix}.block1.norm"),
+        },
+        "block2": {
+            "proj": _conv(sd, f"{prefix}.block2.proj"),
+            "norm": _groupnorm(sd, f"{prefix}.block2.norm"),
+        },
+    }
+    if with_time and f"{prefix}.mlp.1.weight" in sd:
+        out["mlp"] = _linear(sd, f"{prefix}.mlp.1")
+    if f"{prefix}.res_conv.weight" in sd:
+        out["res_conv"] = _conv(sd, f"{prefix}.res_conv")
+    return out
+
+
+def _lin_attn_v2(sd, prefix):
+    return (
+        _gamma_g(sd, f"{prefix}.norm"),
+        {
+            "to_qkv": _conv(sd, f"{prefix}.fn.to_qkv", bias=False),
+            "to_out": _conv(sd, f"{prefix}.fn.to_out.0"),
+            "out_norm": _gamma_g(sd, f"{prefix}.fn.to_out.1"),
+        },
+    )
+
+
+def _gamma_g(sd, name):
+    return {"g": np.reshape(sd[f"{name}.g"], (-1,))}
+
+
+def convert_unet2dv2(state_dict, num_levels=4):
+    """Map the reference 2D ``Unet`` (diffusion_2d_jellyfish.py:276-403) to
+    ``UNet2Dv2``."""
+    sd = {
+        k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+        for k, v in state_dict.items()
+    }
+    params = {
+        "init_conv": _conv(sd, "init_conv"),
+        "time_mlp": {
+            "fc1": _linear(sd, "time_mlp.1"),
+            "fc2": _linear(sd, "time_mlp.3"),
+        },
+        "mid_block1": _ws_resnet_block(sd, "mid_block1"),
+        "mid_attn_norm": _gamma_g(sd, "mid_attn.fn.norm"),
+        "mid_attn": {
+            "to_qkv": _conv(sd, "mid_attn.fn.fn.to_qkv", bias=False),
+            "to_out": _conv(sd, "mid_attn.fn.fn.to_out"),
+        },
+        "mid_block2": _ws_resnet_block(sd, "mid_block2"),
+        "final_res_block": _ws_resnet_block(sd, "final_res_block"),
+        "final_conv": _conv(sd, "final_conv"),
+    }
+    for i in range(num_levels):
+        is_last = i == num_levels - 1
+        params[f"down_{i}_block1"] = _ws_resnet_block(sd, f"downs.{i}.0")
+        params[f"down_{i}_block2"] = _ws_resnet_block(sd, f"downs.{i}.1")
+        n, a = _lin_attn_v2(sd, f"downs.{i}.2.fn")
+        params[f"down_{i}_attn_norm"] = n
+        params[f"down_{i}_attn"] = a
+        params[f"down_{i}_downsample"] = (
+            _conv(sd, f"downs.{i}.3") if is_last
+            else {"conv": _conv(sd, f"downs.{i}.3.1")})
+        params[f"up_{i}_block1"] = _ws_resnet_block(sd, f"ups.{i}.0")
+        params[f"up_{i}_block2"] = _ws_resnet_block(sd, f"ups.{i}.1")
+        n, a = _lin_attn_v2(sd, f"ups.{i}.2.fn")
+        params[f"up_{i}_attn_norm"] = n
+        params[f"up_{i}_attn"] = a
+        params[f"up_{i}_upsample"] = (
+            _conv(sd, f"ups.{i}.3") if is_last
+            else {"conv": _conv(sd, f"ups.{i}.3.1")})
+    return params
+
+
+def convert_force_unet(state_dict, num_levels=4):
+    """Map the reference ``ForceUnet`` (diffusion_2d_jellyfish.py:406-481) to
+    ``ForceUNet``."""
+    sd = {
+        k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+        for k, v in state_dict.items()
+    }
+    params = {
+        "init_conv": _conv(sd, "init_conv"),
+        "mid_block1": _ws_resnet_block(sd, "mid_block1", with_time=False),
+        "mid_attn_norm": _gamma_g(sd, "mid_attn.fn.norm"),
+        "mid_attn": {
+            "to_qkv": _conv(sd, "mid_attn.fn.fn.to_qkv", bias=False),
+            "to_out": _conv(sd, "mid_attn.fn.fn.to_out"),
+        },
+        "mid_block2": _ws_resnet_block(sd, "mid_block2", with_time=False),
+        "final": _linear(sd, "final"),
+    }
+    for i in range(num_levels):
+        is_last = i == num_levels - 1
+        params[f"down_{i}_block1"] = _ws_resnet_block(sd, f"downs.{i}.0",
+                                                      with_time=False)
+        params[f"down_{i}_block2"] = _ws_resnet_block(sd, f"downs.{i}.1",
+                                                      with_time=False)
+        n, a = _lin_attn_v2(sd, f"downs.{i}.2.fn")
+        params[f"down_{i}_attn_norm"] = n
+        params[f"down_{i}_attn"] = a
+        params[f"down_{i}_downsample"] = (
+            _conv(sd, f"downs.{i}.3") if is_last
+            else {"conv": _conv(sd, f"downs.{i}.3.1")})
+    return params

@@ -12,7 +12,6 @@ strongest form of this baseline. Objective (reference :26-27, lamb-weighted):
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

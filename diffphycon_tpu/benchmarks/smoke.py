@@ -9,7 +9,7 @@ process per sample (reference multi_evaluate, inference_2d_smoke.py:317-427).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

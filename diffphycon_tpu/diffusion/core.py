@@ -27,8 +27,6 @@ compiles them to ``dynamic_update_slice`` with no scatter.
 from __future__ import annotations
 
 import dataclasses
-import math
-from functools import partial
 from typing import Any, Callable, Optional
 
 import jax

@@ -9,7 +9,7 @@ onto the MXU, and optional bfloat16 compute with float32 parameters.
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ Channels-last: fields are (B, Nx, 1). RESCALER = 6.4519
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ and runs as a single compiled scan on device.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Tuple
 
 import jax

@@ -14,7 +14,6 @@ exponential time differencing scheme; batched, jittable, differentiable.
 
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax

@@ -17,7 +17,7 @@ import dataclasses
 import json
 import time
 from pathlib import Path
-from typing import Callable, Iterator, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

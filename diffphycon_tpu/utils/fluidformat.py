@@ -11,7 +11,6 @@ from __future__ import annotations
 import json
 import os
 import re
-from pathlib import Path
 from typing import Optional, Sequence
 
 import numpy as np

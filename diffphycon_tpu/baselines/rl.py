@@ -149,6 +149,47 @@ class ReplayBuffer:
         )
 
 
+class RingReplay:
+    """Online replay memory with push semantics (reference
+    sac_burgers/scripts/replay_memory.py: fixed capacity, FIFO overwrite,
+    uniform sampling of (s, a, r, s', mask) transitions).
+
+    ``sample`` returns the same 7-tuple layout as :class:`ReplayBuffer`
+    (``ret`` and ``next_action`` zero-filled) so ``SAC.update`` accepts
+    either buffer."""
+
+    def __init__(self, capacity: int, state_dim: int, action_dim: int):
+        self.capacity = capacity
+        self.state = np.zeros((capacity, state_dim), np.float32)
+        self.action = np.zeros((capacity, action_dim), np.float32)
+        self.reward = np.zeros((capacity,), np.float32)
+        self.next_state = np.zeros((capacity, state_dim), np.float32)
+        self.mask = np.zeros((capacity,), np.float32)
+        self.pos = 0
+        self.size = 0
+
+    def push_batch(self, s, a, r, s2, mask):
+        s, a = np.asarray(s, np.float32), np.asarray(a, np.float32)
+        r, s2 = np.asarray(r, np.float32), np.asarray(s2, np.float32)
+        mask = np.broadcast_to(np.asarray(mask, np.float32), r.shape)
+        n = s.shape[0]
+        idx = (self.pos + np.arange(n)) % self.capacity
+        self.state[idx], self.action[idx] = s, a
+        self.reward[idx], self.next_state[idx] = r, s2
+        self.mask[idx] = mask
+        self.pos = int((self.pos + n) % self.capacity)
+        self.size = int(min(self.size + n, self.capacity))
+
+    def sample(self, rng: np.random.Generator, batch_size: int):
+        idx = rng.integers(0, self.size, batch_size)
+        z = jnp.zeros((batch_size,))
+        return (jnp.asarray(self.state[idx]), jnp.asarray(self.action[idx]),
+                jnp.asarray(self.reward[idx]), z,
+                jnp.asarray(self.next_state[idx]),
+                jnp.zeros((batch_size, self.action.shape[1])),
+                jnp.asarray(self.mask[idx]))
+
+
 # ---------------------------------------------------------------------------
 # learners
 # ---------------------------------------------------------------------------

@@ -90,3 +90,24 @@ def test_bppo_runs_and_updates():
                         bppo.params, bppo.old_params)
     assert max(jax.tree.leaves(diff)) > 0
     bppo.replace_old()
+
+
+def test_ring_replay_push_sample_and_sac_compat():
+    from diffphycon_tpu.baselines.rl import RingReplay, SAC
+
+    rng = np.random.default_rng(0)
+    rr = RingReplay(capacity=100, state_dim=8, action_dim=4)
+    # fill past capacity to exercise FIFO wraparound
+    for i in range(5):
+        rr.push_batch(rng.normal(size=(30, 8)), rng.normal(size=(30, 4)),
+                      rng.normal(size=(30,)), rng.normal(size=(30, 8)),
+                      0.0 if i == 4 else 1.0)
+    assert rr.size == 100 and rr.pos == 50
+    batch = rr.sample(rng, 16)
+    assert len(batch) == 7
+    assert batch[0].shape == (16, 8) and batch[1].shape == (16, 4)
+
+    sac = SAC(state_dim=8, action_dim=4, hidden_dim=32, depth=2,
+              batch_size=32, seed=0)
+    ql, pl = sac.update(rr)
+    assert np.isfinite(ql) and np.isfinite(pl)

@@ -72,6 +72,8 @@ def build_parser():
     p.add_argument("--prior_beta", default=1, type=float)
     p.add_argument("--normalize_beta", default=False, type=eval)
     p.add_argument("--bf16", default=False, type=eval)
+    p.add_argument("--impl", default="xla", choices=["xla", "pallas"],
+                   help="pallas = fused-kernel UNet forward (TPU inference)")
     return p
 
 
@@ -123,6 +125,16 @@ def main(args):
         os.path.join(args.model_root, "burgers", args.exp_id),
         args.checkpoint, use_ema=args.use_ema,
     )
+    apply_fn = net.apply
+    if args.impl == "pallas":
+        from diffphycon_tpu.ops.pallas_unet2d import (
+            pack_unet2d_params,
+            unet2d_pallas_apply,
+        )
+
+        params = pack_unet2d_params(params, args.dim, tuple(args.dim_muls),
+                                    args.resnet_block_groups)
+        apply_fn = lambda p, x, t: unet2d_pallas_apply(p, x, t)
     if args.eval_two_models:
         params_w = Trainer.load_params(
             os.path.join(args.model_root, "burgers_w", args.exp_id__model_w),
@@ -136,10 +148,16 @@ def main(args):
             dim_muls=tuple(args.dim_muls__model_w or args.dim_muls),
         )
         net_w = bench.build_unet(cfg_w)
-        gd = bench.build_diffusion(cfg, net.apply, model_w_apply=net_w.apply)
+        apply_w_fn = net_w.apply
+        if args.impl == "pallas":
+            params_w = pack_unet2d_params(
+                params_w, cfg_w.dim, tuple(cfg_w.dim_muls),
+                args.resnet_block_groups)
+            apply_w_fn = apply_fn
+        gd = bench.build_diffusion(cfg, apply_fn, model_w_apply=apply_w_fn)
         all_params = (params, params_w)
     else:
-        gd = bench.build_diffusion(cfg, net.apply)
+        gd = bench.build_diffusion(cfg, apply_fn)
         all_params = params
 
     u_target_all = get_target(args)

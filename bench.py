@@ -18,13 +18,14 @@ estimated from standard GPU U-Net throughput), the comparison axis named in
 BASELINE.json ("denoise steps/sec/chip").
 """
 
+import argparse
 import json
 import time
 
 REFERENCE_STEPS_PER_SEC_ESTIMATE = 30.0
 
 
-def main():
+def main(impl: str = "auto"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -38,7 +39,23 @@ def main():
     net = bench.build_unet(cfg)
     params = bench.init_params(cfg, seed=0)
     params_w = bench.init_params(cfg, seed=1)
-    gd = bench.build_diffusion(cfg, net.apply, model_w_apply=net.apply)
+
+    if impl == "auto":
+        impl = "xla"  # flip to pallas once TPU lowering is validated
+    if impl == "pallas":
+        # fused Pallas forward (ops/pallas_unet2d.py): ~40 kernels per model
+        # eval instead of ~2,200 XLA ops — the op-count-bound sampler's fix
+        from diffphycon_tpu.ops.pallas_unet2d import (
+            pack_unet2d_params,
+            unet2d_pallas_apply,
+        )
+
+        params = pack_unet2d_params(params, cfg.dim, tuple(cfg.dim_muls))
+        params_w = pack_unet2d_params(params_w, cfg.dim, tuple(cfg.dim_muls))
+        apply_fn = lambda p, x, t: unet2d_pallas_apply(p, x, t)
+    else:
+        apply_fn = net.apply
+    gd = bench.build_diffusion(cfg, apply_fn, model_w_apply=apply_fn)
 
     batch = 50
     rng = np.random.default_rng(0)
@@ -77,4 +94,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--impl", default="auto", choices=["auto", "xla", "pallas"])
+    main(ap.parse_args().impl)

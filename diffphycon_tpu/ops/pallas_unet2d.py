@@ -50,10 +50,13 @@ def set_interpret(flag: bool) -> None:
 def _conv2d(x, w, b, pad_h: int, pad_w: int):
     """Same-padded KxK conv as K^2 accumulated MXU matmuls.
 
-    x: (bs, H, W, Ci); w: (kh, kw, Ci, Co). All float32 values in VMEM."""
+    x: (bs, H, W, Ci) float32; w: (kh, kw, Ci, Co) float32 or bfloat16 —
+    matmul operands run in w's dtype (bf16 hits the MXU native path) with
+    float32 accumulation."""
     bs, H, W, Ci = x.shape
     kh, kw, _, Co = w.shape
-    xp = jnp.pad(x, ((0, 0), (pad_h, pad_h), (pad_w, pad_w), (0, 0)))
+    xp = jnp.pad(x.astype(w.dtype), ((0, 0), (pad_h, pad_h), (pad_w, pad_w),
+                                     (0, 0)))
     acc = jnp.zeros((bs * H * W, Co), jnp.float32)
     for dy in range(kh):
         for dx in range(kw):
@@ -100,7 +103,7 @@ def _resblock_kernel(x_ref, ss_ref, w1_ref, b1_ref, gs1_ref, gb1_ref,
     x = x_ref[...].astype(jnp.float32)
     ss = ss_ref[...].astype(jnp.float32)          # (bs, 2*Co)
     co = w1_ref.shape[-1]
-    h = _conv2d(x, w1_ref[...].astype(jnp.float32),
+    h = _conv2d(x, w1_ref[...],
                 b1_ref[...].astype(jnp.float32), 1, 1)
     h = _group_norm(h, gs1_ref[...].astype(jnp.float32),
                     gb1_ref[...].astype(jnp.float32), groups)
@@ -108,15 +111,15 @@ def _resblock_kernel(x_ref, ss_ref, w1_ref, b1_ref, gs1_ref, gb1_ref,
     shift = ss[:, None, None, co:]
     h = h * (scale + 1.0) + shift
     h = _silu(h)
-    h = _conv2d(h, w2_ref[...].astype(jnp.float32),
+    h = _conv2d(h, w2_ref[...],
                 b2_ref[...].astype(jnp.float32), 1, 1)
     h = _group_norm(h, gs2_ref[...].astype(jnp.float32),
                     gb2_ref[...].astype(jnp.float32), groups)
     h = _silu(h)
     if has_res:
         bs, H, W, Ci = x.shape
-        res = jnp.dot(x.reshape(bs * H * W, Ci),
-                      wr_ref[...].astype(jnp.float32)[0, 0],
+        wr = wr_ref[...][0, 0]
+        res = jnp.dot(x.reshape(bs * H * W, Ci).astype(wr.dtype), wr,
                       preferred_element_type=jnp.float32)
         res = res.reshape(bs, H, W, co) + br_ref[...].astype(jnp.float32)
     else:
@@ -133,7 +136,8 @@ def _linear_attention_kernel(x_ref, ng_ref, wqkv_ref, wo_ref, bo_ref,
     n = H * W
     hidden = heads * dim_head
     hn = _chan_layer_norm(x, ng_ref[...].astype(jnp.float32))
-    qkv = jnp.dot(hn.reshape(bs * n, C), wqkv_ref[...].astype(jnp.float32)[0, 0],
+    wqkv = wqkv_ref[...][0, 0]
+    qkv = jnp.dot(hn.reshape(bs * n, C).astype(wqkv.dtype), wqkv,
                   preferred_element_type=jnp.float32)
     qkv = qkv.reshape(bs, n, 3, heads, dim_head)
     # (bs, heads, dim_head, n)
@@ -147,7 +151,8 @@ def _linear_attention_kernel(x_ref, ng_ref, wqkv_ref, wo_ref, bo_ref,
     out = jnp.einsum("bhde,bhdn->bhen", context, q,
                      preferred_element_type=jnp.float32)
     out = jnp.transpose(out, (0, 3, 1, 2)).reshape(bs * n, hidden)
-    out = jnp.dot(out, wo_ref[...].astype(jnp.float32)[0, 0],
+    wo = wo_ref[...][0, 0]
+    out = jnp.dot(out.astype(wo.dtype), wo,
                   preferred_element_type=jnp.float32)
     out = out.reshape(bs, H, W, C) + bo_ref[...].astype(jnp.float32)
     out = _chan_layer_norm(out, og_ref[...].astype(jnp.float32))
@@ -163,7 +168,8 @@ def _attention_kernel(x_ref, ng_ref, wqkv_ref, wo_ref, bo_ref, o_ref, *,
     n = H * W
     hidden = heads * dim_head
     hn = _chan_layer_norm(x, ng_ref[...].astype(jnp.float32))
-    qkv = jnp.dot(hn.reshape(bs * n, C), wqkv_ref[...].astype(jnp.float32)[0, 0],
+    wqkv = wqkv_ref[...][0, 0]
+    qkv = jnp.dot(hn.reshape(bs * n, C).astype(wqkv.dtype), wqkv,
                   preferred_element_type=jnp.float32)
     qkv = qkv.reshape(bs, n, 3, heads, dim_head)
     q = qkv[:, :, 0] * (dim_head ** -0.5)
@@ -174,8 +180,8 @@ def _attention_kernel(x_ref, ng_ref, wqkv_ref, wo_ref, bo_ref, o_ref, *,
     attn = jax.nn.softmax(sim, axis=-1)
     out = jnp.einsum("bhij,bjhd->bihd", attn, v,
                      preferred_element_type=jnp.float32)
-    out = jnp.dot(out.reshape(bs * n, hidden),
-                  wo_ref[...].astype(jnp.float32)[0, 0],
+    wo = wo_ref[...][0, 0]
+    out = jnp.dot(out.reshape(bs * n, hidden).astype(wo.dtype), wo,
                   preferred_element_type=jnp.float32)
     out = out.reshape(bs, H, W, C) + bo_ref[...].astype(jnp.float32)
     o_ref[...] = (x + out).astype(o_ref.dtype)
@@ -189,8 +195,8 @@ def _downsample_kernel(x_ref, w_ref, b_ref, o_ref):
     x = x.reshape(bs, H // 2, 2, W // 2, 2, C)
     x = jnp.transpose(x, (0, 1, 3, 5, 2, 4))
     x = x.reshape(bs * (H // 2) * (W // 2), C * 4)
-    out = jnp.dot(x, w_ref[...].astype(jnp.float32)[0, 0],
-                  preferred_element_type=jnp.float32)
+    w = w_ref[...][0, 0]
+    out = jnp.dot(x.astype(w.dtype), w, preferred_element_type=jnp.float32)
     co = w_ref.shape[-1]
     o_ref[...] = (out.reshape(bs, H // 2, W // 2, co)
                   + b_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
@@ -201,14 +207,12 @@ def _upsample_kernel(x_ref, w_ref, b_ref, o_ref):
     x = x_ref[...].astype(jnp.float32)
     bs, H, W, C = x.shape
     x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-    out = _conv2d(x, w_ref[...].astype(jnp.float32),
-                  b_ref[...].astype(jnp.float32), 1, 1)
+    out = _conv2d(x, w_ref[...], b_ref[...].astype(jnp.float32), 1, 1)
     o_ref[...] = out.astype(o_ref.dtype)
 
 
 def _conv_kernel(x_ref, w_ref, b_ref, o_ref, *, pad_h: int, pad_w: int):
-    out = _conv2d(x_ref[...].astype(jnp.float32),
-                  w_ref[...].astype(jnp.float32),
+    out = _conv2d(x_ref[...].astype(jnp.float32), w_ref[...],
                   b_ref[...].astype(jnp.float32), pad_h, pad_w)
     o_ref[...] = out.astype(o_ref.dtype)
 
@@ -372,13 +376,20 @@ def _attn_p(a):
 
 
 def pack_unet2d_params(params, dim: int = 64,
-                       dim_mults: Sequence[int] = (1, 2, 4, 8)) -> Dict[str, Any]:
-    """Flatten a UNet2D Flax params tree into the kernel-ready layout."""
+                       dim_mults: Sequence[int] = (1, 2, 4, 8),
+                       groups: int = 1,
+                       weight_dtype=None) -> Dict[str, Any]:
+    """Flatten a UNet2D Flax params tree into the kernel-ready layout.
+
+    weight_dtype=jnp.bfloat16 casts the matmul weights (convs, attention
+    projections) so the kernels hit the MXU's native bf16 path; norms,
+    biases, and FiLM projections stay float32."""
     p = params["params"] if "params" in params else params
     n = len(dim_mults)
     packed: Dict[str, Any] = {
         "dim": dim,
         "n_levels": n,
+        "groups": groups,
         "time_fc1_w": jnp.asarray(p["time_mlp"]["fc1"]["kernel"]),
         "time_fc1_b": jnp.asarray(p["time_mlp"]["fc1"]["bias"]),
         "time_fc2_w": jnp.asarray(p["time_mlp"]["fc2"]["kernel"]),
@@ -403,6 +414,13 @@ def pack_unet2d_params(params, dim: int = 64,
         u = p[f"up_{i}_upsample"]
         packed[f"up_{i}_upsample"] = (
             _conv_p(u["conv"]) if "conv" in u else _conv_p(u))
+    if weight_dtype is not None:
+        matmul_keys = {"w", "w1", "w2", "wr", "wqkv", "wo"}
+        for k, v in packed.items():
+            if isinstance(v, dict):
+                packed[k] = {kk: (vv.astype(weight_dtype)
+                                  if kk in matmul_keys else vv)
+                             for kk, vv in v.items()}
     return packed
 
 
@@ -451,6 +469,7 @@ def _film_all(packed, temb):
 def unet2d_pallas_apply(packed, x, t):
     """Forward pass matching UNet2D.apply (float32). x: (B, T, X, C)."""
     n = packed["n_levels"]
+    g = packed.get("groups", 1)
     temb = _time_embedding(packed, t)
     film = _film_all(packed, temb)
 
@@ -458,9 +477,9 @@ def unet2d_pallas_apply(packed, x, t):
     r = x
     h = []
     for i in range(n):
-        x = resblock(x, film[f"down_{i}_block1"], packed[f"down_{i}_block1"])
+        x = resblock(x, film[f"down_{i}_block1"], packed[f"down_{i}_block1"], g)
         h.append(x)
-        x = resblock(x, film[f"down_{i}_block2"], packed[f"down_{i}_block2"])
+        x = resblock(x, film[f"down_{i}_block2"], packed[f"down_{i}_block2"], g)
         x = linear_attention_block(x, packed[f"down_{i}_attn"])
         h.append(x)
         if i < n - 1:
@@ -468,15 +487,15 @@ def unet2d_pallas_apply(packed, x, t):
         else:
             x = conv(x, packed[f"down_{i}_downsample"], pad_h=1, pad_w=1)
 
-    x = resblock(x, film["mid_block1"], packed["mid_block1"])
+    x = resblock(x, film["mid_block1"], packed["mid_block1"], g)
     x = attention_block(x, packed["mid_attn"])
-    x = resblock(x, film["mid_block2"], packed["mid_block2"])
+    x = resblock(x, film["mid_block2"], packed["mid_block2"], g)
 
     for i in range(n):
         x = concat_channels(x, h.pop())
-        x = resblock(x, film[f"up_{i}_block1"], packed[f"up_{i}_block1"])
+        x = resblock(x, film[f"up_{i}_block1"], packed[f"up_{i}_block1"], g)
         x = concat_channels(x, h.pop())
-        x = resblock(x, film[f"up_{i}_block2"], packed[f"up_{i}_block2"])
+        x = resblock(x, film[f"up_{i}_block2"], packed[f"up_{i}_block2"], g)
         x = linear_attention_block(x, packed[f"up_{i}_attn"])
         if i < n - 1:
             x = upsample(x, packed[f"up_{i}_upsample"])
@@ -484,5 +503,5 @@ def unet2d_pallas_apply(packed, x, t):
             x = conv(x, packed[f"up_{i}_upsample"], pad_h=1, pad_w=1)
 
     x = concat_channels(x, r)
-    x = resblock(x, film["final_res"], packed["final_res"])
+    x = resblock(x, film["final_res"], packed["final_res"], g)
     return conv(x, packed["final_conv"], pad_h=0, pad_w=0)

@@ -52,3 +52,20 @@ def test_film_projection_matches_per_block():
     for nm in pu._res_names(2):
         expect = h @ packed[nm]["film_w"] + packed[nm]["film_b"]
         assert float(jnp.abs(film[nm] - expect).max()) < 1e-6
+
+
+def test_parity_bf16_weights():
+    """bf16 matmul weights keep outputs within bf16-ish tolerance."""
+    import jax.numpy as jnp
+
+    net = UNet2D(dim=16, dim_mults=(1, 2), channels=2, out_dim=2,
+                 resnet_block_groups=1)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 64, 2))
+    t = jnp.array([5.0, 700.0])
+    params = net.init(jax.random.PRNGKey(0), x, t)
+    ref = net.apply(params, x, t)
+    packed = pu.pack_unet2d_params(params, dim=16, dim_mults=(1, 2),
+                                   weight_dtype=jnp.bfloat16)
+    out = pu.unet2d_pallas_apply(packed, x, t)
+    err = float(jnp.abs(ref - out).max())
+    assert err < 0.05 * max(1.0, float(jnp.abs(ref).max()))

@@ -226,13 +226,15 @@ def _concat_kernel(a_ref, b_ref, o_ref):
 # pallas_call wrappers with a batch grid
 # ---------------------------------------------------------------------------
 
-# VMEM is ~16 MB/core: pick the per-step batch tile so the biggest live
-# tensors (input + output + padded conv buffer, float32) stay well inside it.
-_VMEM_BUDGET = 6 * 1024 * 1024  # bytes of activation per kernel step
+# VMEM is ~16 MB/core: pick the per-step batch tile so weights + the biggest
+# live activations (input + output + padded conv buffer, float32) fit.
+_VMEM_BUDGET = 10 * 1024 * 1024  # bytes per kernel step (weights + acts)
 
 
-def _batch_tile(per_sample_bytes: int, batch: int) -> int:
-    bs = max(1, _VMEM_BUDGET // max(per_sample_bytes, 1))
+def _batch_tile(per_sample_bytes: int, batch: int,
+                weight_bytes: int = 0) -> int:
+    avail = max(_VMEM_BUDGET - weight_bytes, per_sample_bytes)
+    bs = max(1, avail // max(per_sample_bytes, 1))
     bs = min(bs, batch)
     while batch % bs:
         bs -= 1
@@ -250,7 +252,9 @@ def _w_spec(shape):
 def _run(kernel, x, extras, out_shape, per_sample_bytes):
     """Launch `kernel` over a batch grid; extras are (array, is_batched)."""
     b = x.shape[0]
-    bs = _batch_tile(per_sample_bytes, b)
+    weight_bytes = sum(int(a.size) * a.dtype.itemsize
+                       for a, batched in extras if not batched)
+    bs = _batch_tile(per_sample_bytes, b, weight_bytes)
     in_specs = [_x_spec(bs, x.shape)]
     args = [x]
     for arr, batched in extras:

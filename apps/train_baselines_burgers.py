@@ -34,25 +34,41 @@ def build_parser():
     p.add_argument("--depth", default=2, type=int)
     p.add_argument("--lr", default=1e-4, type=float)
     p.add_argument("--partial_control", default=None, type=str)
+    p.add_argument("--partially_observed", default=None, type=str,
+                   help="'front_rear_quarter' zeroes the unobserved middle "
+                        "half of u in policy states (reference "
+                        "BC_burgers/train_infer_POPC.py:131)")
     p.add_argument("--solver_dt", default=1e-3, type=float)
     p.add_argument("--save_file", default="burgers_results/baselines.json")
     p.add_argument("--seed", default=0, type=int)
     return p
 
 
-def closed_loop_eval(select_action, u_target, dt, partial_control=None):
+def obs_mask(nx, partially_observed):
+    import numpy as np
+
+    m = np.ones((nx,), np.float32)
+    if partially_observed == "front_rear_quarter":
+        m[nx // 4 : 3 * nx // 4] = 0.0
+    return m
+
+
+def closed_loop_eval(select_action, u_target, dt, partial_control=None,
+                     partially_observed=None):
     """Roll the policy through the real solver frame by frame; report
-    J_actual (final-state MSE) and control energy."""
+    J_actual (final-state MSE) and control energy. Under partial
+    observation the policy sees the masked state; J stays full-state."""
     import jax.numpy as jnp
     import numpy as np
 
     from diffphycon_tpu.physics.burgers import burgers_solve
 
     nx = u_target.shape[-1]
+    omask = jnp.asarray(obs_mask(nx, partially_observed))
     u = jnp.asarray(u_target[:, 0, :])
     fs = []
     for t in range(10):
-        a = select_action(u / 10.0) * 10.0  # policies act in rescaled space
+        a = select_action(u * omask / 10.0) * 10.0  # rescaled, observed part
         a = jnp.asarray(a)
         if partial_control == "front_rear_quarter":
             mask = jnp.zeros((nx,)).at[: nx // 4].set(1.0)
@@ -90,7 +106,8 @@ def main(args):
                                     dt=args.solver_dt))
     # offline dataset: expert actions are the generating forcings; reward is
     # negative deviation from the trajectory's own final state
-    states = traj[: args.n_data] / 10.0
+    omask = obs_mask(u0.shape[-1], args.partially_observed)
+    states = traj[: args.n_data] * omask / 10.0
     actions = (f[: args.n_data] / 10.0).clip(-1, 1)
     rewards = -((traj[: args.n_data, 1:] - traj[: args.n_data, -1:]) ** 2
                 ).mean(-1).astype(np.float32)
@@ -131,7 +148,7 @@ def main(args):
         select = lambda s: sac.select_action(s)
 
     j, e = closed_loop_eval(select, u_target, args.solver_dt,
-                            args.partial_control)
+                            args.partial_control, args.partially_observed)
     results["J_actual_mse"] = j
     results["control_energy"] = e
     print(f"{args.method}: J_actual={j:.6f} energy={e:.2f}")

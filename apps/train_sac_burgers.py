@@ -47,6 +47,10 @@ def build_parser():
                    help="tanh action -> physical forcing amplitude")
     p.add_argument("--replay_size", default=1_000_000, type=int)
     p.add_argument("--partial_control", default=None, type=str)
+    p.add_argument("--partially_observed", default=None, type=str,
+                   help="'front_rear_quarter' zeroes the unobserved middle "
+                        "half of u in MDP states (reference "
+                        "sac_burgers/burgers_sac_pob_*.py)")
     p.add_argument("--solver_dt", default=1e-3, type=float)
     p.add_argument("--eval_every", default=25, type=int)
     p.add_argument("--save_file", default="burgers_results/sac.json")
@@ -81,9 +85,14 @@ def main(args):
             return f
         return np.concatenate([f[:, : nx // 4], f[:, 3 * nx // 4 :]], -1)
 
+    omask = np.ones((nx,), np.float32)
+    if args.partially_observed == "front_rear_quarter":
+        omask[nx // 4 : 3 * nx // 4] = 0.0
+
     def mdp_state(t, u, u_tgt):
         return np.concatenate(
-            [np.full((u.shape[0], 1), float(t), np.float32), u, u_tgt], -1)
+            [np.full((u.shape[0], 1), float(t), np.float32), u * omask,
+             u_tgt * omask], -1)
 
     # data: trajectories from the generating distribution; the final state of
     # each is its own control target (reference :104-109)

@@ -2,7 +2,7 @@
 
 The XLA-compiled UNet2D forward executes ~2,200 device ops per denoise-loop
 iteration (mostly small fusions and layout copies around 27 convolutions);
-on this runtime each op carries ~30 us fixed cost, so sampling is op-count
+on this runtime each op carries a large fixed cost, so sampling is op-count
 bound (see PERF.md). This module re-expresses the *inference* forward as one
 Pallas kernel per ResNet/attention/resample block (~40 kernels total, each
 doing its convs as MXU matmuls and keeping all intermediates in VMEM), with
@@ -11,6 +11,16 @@ every FiLM time projection batched into a single matmul outside the kernels.
 Forward-only by design: DDPM/DDIM sampling never differentiates through the
 model (guidance gradients are taken w.r.t. x_start, not params), and training
 keeps the plain Flax path. Numerics match `UNet2D.apply` (float32) to ~1e-5.
+
+Mosaic (TPU) lowering notes that shaped this code:
+  - KxK convs walk their taps with a `fori_loop` reading a padded VMEM
+    scratch ref via `pl.ds`; an unrolled python loop of value-slices
+    allocates every shifted copy simultaneously and blows the 16MB
+    scoped-VMEM stack, and `lax.dynamic_slice` on *values* has no lowering.
+  - Conv weights are packed as (kh*kw, Ci, Co) so the tap loop indexes the
+    leading dim only; 1x1 convs are packed as plain (Ci, Co) matmuls.
+  - Per-sample vectors (FiLM scale/shift) are carried as (B, 1, C): Mosaic
+    tiles the last two dims, which must stay full-size or (8,128)-aligned.
 
 Usage:
     packed = pack_unet2d_params(flax_params, dim=64, dim_mults=(1,2,4,8))
@@ -32,6 +42,7 @@ from typing import Any, Dict, Sequence
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 # interpret=True lets the kernels run (slowly) on CPU for tests.
 _INTERPRET = False
@@ -43,30 +54,51 @@ def set_interpret(flag: bool) -> None:
 
 
 # ---------------------------------------------------------------------------
-# in-kernel building blocks (operate on loaded VMEM values, float32 math)
+# in-kernel building blocks (float32 math on VMEM values)
 # ---------------------------------------------------------------------------
 
 
-def _conv2d(x, w, b, pad_h: int, pad_w: int):
-    """Same-padded KxK conv as K^2 accumulated MXU matmuls.
+def _conv2d(x, wf_ref, b, xp_ref, kh: int, kw: int):
+    """Same-padded kh x kw conv as a tap-accumulated MXU matmul.
 
-    x: (bs, H, W, Ci) float32; w: (kh, kw, Ci, Co) float32 or bfloat16 —
-    matmul operands run in w's dtype (bf16 hits the MXU native path) with
-    float32 accumulation."""
+    x: (bs, H, W, Ci) f32 value; wf_ref: (kh*kw, Ci, Co) weight ref (f32 or
+    bf16 — matmuls run in the weight dtype with f32 accumulation); xp_ref:
+    (bs, H+kh-1, W+kw-1, Ci) VMEM scratch in the weight dtype."""
     bs, H, W, Ci = x.shape
-    kh, kw, _, Co = w.shape
-    xp = jnp.pad(x.astype(w.dtype), ((0, 0), (pad_h, pad_h), (pad_w, pad_w),
-                                     (0, 0)))
-    acc = jnp.zeros((bs * H * W, Co), jnp.float32)
-    for dy in range(kh):
-        for dx in range(kw):
-            xs = jax.lax.slice(xp, (0, dy, dx, 0), (bs, dy + H, dx + W, Ci))
-            acc = acc + jnp.dot(xs.reshape(bs * H * W, Ci), w[dy, dx],
-                                preferred_element_type=jnp.float32)
+    Co = wf_ref.shape[-1]
+    xp_ref[...] = jnp.zeros(xp_ref.shape, xp_ref.dtype)
+    ph, pw = (kh - 1) // 2, (kw - 1) // 2
+    xp_ref[:, ph : ph + H, pw : pw + W, :] = x
+    w2 = xp_ref.shape[2]
+
+    def tap(k, acc):
+        dy, dx = k // kw, k % kw
+        # row offset dy: dynamic pl.ds is fine on the untiled dim 1; column
+        # offset dx: dynamic vector loads at unaligned sublane offsets fail
+        # to lower, so rotate instead. pltpu.roll needs NON-NEGATIVE shifts
+        # (negative traced shifts pass tracing but rotate wrongly on
+        # hardware): left-shift s == right-shift (size - s) % size.
+        rows = xp_ref[:, pl.ds(dy, H), :, :]
+        xs = pltpu.roll(rows, (w2 - dx) % w2, 2)
+        xs = jax.lax.slice(xs, (0, 0, 0, 0), (bs, H, W, Ci))
+        wk = wf_ref[k]
+        # scratch + rotate stay f32 (bf16 dynamic_rotate has no lowering);
+        # cast at the matmul so bf16 weights still hit the native MXU path
+        return acc + jnp.dot(xs.reshape(bs * H * W, Ci).astype(wk.dtype), wk,
+                             preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(0, kh * kw, tap,
+                            jnp.zeros((bs * H * W, Co), jnp.float32))
     out = acc.reshape(bs, H, W, Co)
     if b is not None:
         out = out + b
     return out
+
+
+def _matmul(x2d, w_ref):
+    """(N, Ci) @ (Ci, Co) in the weight dtype with f32 accumulation."""
+    w = w_ref[...]
+    return jnp.dot(x2d.astype(w.dtype), w, preferred_element_type=jnp.float32)
 
 
 def _group_norm(x, scale, bias, groups: int, eps: float = 1e-5):
@@ -99,28 +131,25 @@ def _silu(x):
 
 def _resblock_kernel(x_ref, ss_ref, w1_ref, b1_ref, gs1_ref, gb1_ref,
                      w2_ref, b2_ref, gs2_ref, gb2_ref, wr_ref, br_ref,
-                     o_ref, *, groups: int, has_res: bool):
+                     o_ref, xp1_ref, xp2_ref, *, groups: int, has_res: bool):
     x = x_ref[...].astype(jnp.float32)
-    ss = ss_ref[...].astype(jnp.float32)          # (bs, 2*Co)
+    ss = ss_ref[...].astype(jnp.float32)[:, 0, :]  # (bs, 1, 2Co) -> (bs, 2Co)
     co = w1_ref.shape[-1]
-    h = _conv2d(x, w1_ref[...],
-                b1_ref[...].astype(jnp.float32), 1, 1)
+    h = _conv2d(x, w1_ref, b1_ref[...].astype(jnp.float32), xp1_ref, 3, 3)
     h = _group_norm(h, gs1_ref[...].astype(jnp.float32),
                     gb1_ref[...].astype(jnp.float32), groups)
-    scale = ss[:, None, None, :co]
-    shift = ss[:, None, None, co:]
+    bs_ = ss.shape[0]
+    scale = jax.lax.slice(ss, (0, 0), (bs_, co)).reshape(bs_, 1, 1, co)
+    shift = jax.lax.slice(ss, (0, co), (bs_, 2 * co)).reshape(bs_, 1, 1, co)
     h = h * (scale + 1.0) + shift
     h = _silu(h)
-    h = _conv2d(h, w2_ref[...],
-                b2_ref[...].astype(jnp.float32), 1, 1)
+    h = _conv2d(h, w2_ref, b2_ref[...].astype(jnp.float32), xp2_ref, 3, 3)
     h = _group_norm(h, gs2_ref[...].astype(jnp.float32),
                     gb2_ref[...].astype(jnp.float32), groups)
     h = _silu(h)
     if has_res:
         bs, H, W, Ci = x.shape
-        wr = wr_ref[...][0, 0]
-        res = jnp.dot(x.reshape(bs * H * W, Ci).astype(wr.dtype), wr,
-                      preferred_element_type=jnp.float32)
+        res = _matmul(x.reshape(bs * H * W, Ci), wr_ref)
         res = res.reshape(bs, H, W, co) + br_ref[...].astype(jnp.float32)
     else:
         res = x
@@ -136,24 +165,27 @@ def _linear_attention_kernel(x_ref, ng_ref, wqkv_ref, wo_ref, bo_ref,
     n = H * W
     hidden = heads * dim_head
     hn = _chan_layer_norm(x, ng_ref[...].astype(jnp.float32))
-    wqkv = wqkv_ref[...][0, 0]
-    qkv = jnp.dot(hn.reshape(bs * n, C).astype(wqkv.dtype), wqkv,
-                  preferred_element_type=jnp.float32)
+    qkv = _matmul(hn.reshape(bs * n, C), wqkv_ref)
     qkv = qkv.reshape(bs, n, 3, heads, dim_head)
-    # (bs, heads, dim_head, n)
-    q = jnp.transpose(qkv[:, :, 0], (0, 2, 3, 1))
-    k = jnp.transpose(qkv[:, :, 1], (0, 2, 3, 1))
-    v = jnp.transpose(qkv[:, :, 2], (0, 2, 3, 1))
+
+    # merge (batch, head) into one leading dim: Mosaic's matmul supports at
+    # most one batch dimension
+    def z_heads(t):  # (bs, n, heads, dh) -> (bs*heads, dh, n)
+        return jnp.transpose(t, (0, 2, 3, 1)).reshape(
+            bs * heads, dim_head, n)
+
+    q = z_heads(qkv[:, :, 0])
+    k = z_heads(qkv[:, :, 1])
+    v = z_heads(qkv[:, :, 2])
     q = jax.nn.softmax(q, axis=-2) * (dim_head ** -0.5)
     k = jax.nn.softmax(k, axis=-1)
-    context = jnp.einsum("bhdn,bhen->bhde", k, v,
+    context = jnp.einsum("zdn,zen->zde", k, v,
                          preferred_element_type=jnp.float32)
-    out = jnp.einsum("bhde,bhdn->bhen", context, q,
+    out = jnp.einsum("zde,zdn->zen", context, q,
                      preferred_element_type=jnp.float32)
+    out = out.reshape(bs, heads, dim_head, n)
     out = jnp.transpose(out, (0, 3, 1, 2)).reshape(bs * n, hidden)
-    wo = wo_ref[...][0, 0]
-    out = jnp.dot(out.astype(wo.dtype), wo,
-                  preferred_element_type=jnp.float32)
+    out = _matmul(out, wo_ref)
     out = out.reshape(bs, H, W, C) + bo_ref[...].astype(jnp.float32)
     out = _chan_layer_norm(out, og_ref[...].astype(jnp.float32))
     o_ref[...] = (x + out).astype(o_ref.dtype)
@@ -168,53 +200,70 @@ def _attention_kernel(x_ref, ng_ref, wqkv_ref, wo_ref, bo_ref, o_ref, *,
     n = H * W
     hidden = heads * dim_head
     hn = _chan_layer_norm(x, ng_ref[...].astype(jnp.float32))
-    wqkv = wqkv_ref[...][0, 0]
-    qkv = jnp.dot(hn.reshape(bs * n, C).astype(wqkv.dtype), wqkv,
-                  preferred_element_type=jnp.float32)
+    qkv = _matmul(hn.reshape(bs * n, C), wqkv_ref)
     qkv = qkv.reshape(bs, n, 3, heads, dim_head)
-    q = qkv[:, :, 0] * (dim_head ** -0.5)
-    k = qkv[:, :, 1]
-    v = qkv[:, :, 2]
-    sim = jnp.einsum("bihd,bjhd->bhij", q, k,
+
+    def z_heads(t):  # (bs, n, heads, dh) -> (bs*heads, n, dh)
+        return jnp.transpose(t, (0, 2, 1, 3)).reshape(bs * heads, n, dim_head)
+
+    q = z_heads(qkv[:, :, 0]) * (dim_head ** -0.5)
+    k = z_heads(qkv[:, :, 1])
+    v = z_heads(qkv[:, :, 2])
+    sim = jnp.einsum("zid,zjd->zij", q, k,
                      preferred_element_type=jnp.float32)
     attn = jax.nn.softmax(sim, axis=-1)
-    out = jnp.einsum("bhij,bjhd->bihd", attn, v,
+    out = jnp.einsum("zij,zjd->zid", attn, v,
                      preferred_element_type=jnp.float32)
-    wo = wo_ref[...][0, 0]
-    out = jnp.dot(out.reshape(bs * n, hidden).astype(wo.dtype), wo,
-                  preferred_element_type=jnp.float32)
+    out = out.reshape(bs, heads, n, dim_head)
+    out = jnp.transpose(out, (0, 2, 1, 3)).reshape(bs * n, hidden)
+    out = _matmul(out, wo_ref)
     out = out.reshape(bs, H, W, C) + bo_ref[...].astype(jnp.float32)
     o_ref[...] = (x + out).astype(o_ref.dtype)
 
 
 def _downsample_kernel(x_ref, w_ref, b_ref, o_ref):
-    """space-to-depth (torch channel order) + 1x1 conv
-    (nets/blocks.py:205-225)."""
+    """space-to-depth + 1x1 conv (nets/blocks.py:205-225). The torch
+    (c p1 p2) channel order is folded into the packed weight's row order."""
     x = x_ref[...].astype(jnp.float32)
     bs, H, W, C = x.shape
-    x = x.reshape(bs, H // 2, 2, W // 2, 2, C)
-    x = jnp.transpose(x, (0, 1, 3, 5, 2, 4))
-    x = x.reshape(bs * (H // 2) * (W // 2), C * 4)
-    w = w_ref[...][0, 0]
-    out = jnp.dot(x.astype(w.dtype), w, preferred_element_type=jnp.float32)
     co = w_ref.shape[-1]
+    # space-to-depth + 1x1 conv == 2x2-stride-2 conv: accumulate one matmul
+    # per (p1, p2) phase against the (4, C, Co) tap-major weight — avoids
+    # lane-dim reshapes and phase concats that Mosaic cannot lower
+    x6 = x.reshape(bs, H // 2, 2, W // 2, 2, C)
+    n_out = bs * (H // 2) * (W // 2)
+    out = jnp.zeros((n_out, co), jnp.float32)
+    for k, (i, j) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        xs = x6[:, :, i, :, j, :].reshape(n_out, C)
+        out = out + jnp.dot(xs.astype(w_ref.dtype), w_ref[k],
+                            preferred_element_type=jnp.float32)
     o_ref[...] = (out.reshape(bs, H // 2, W // 2, co)
                   + b_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
 
 
-def _upsample_kernel(x_ref, w_ref, b_ref, o_ref):
+def _upsample_kernel(x_ref, w_ref, b_ref, o_ref, xp_ref):
     """nearest 2x + conv3x3 (nets/blocks.py:228-239)."""
     x = x_ref[...].astype(jnp.float32)
     bs, H, W, C = x.shape
     x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-    out = _conv2d(x, w_ref[...], b_ref[...].astype(jnp.float32), 1, 1)
+    out = _conv2d(x, w_ref, b_ref[...].astype(jnp.float32), xp_ref, 3, 3)
     o_ref[...] = out.astype(o_ref.dtype)
 
 
-def _conv_kernel(x_ref, w_ref, b_ref, o_ref, *, pad_h: int, pad_w: int):
-    out = _conv2d(x_ref[...].astype(jnp.float32), w_ref[...],
-                  b_ref[...].astype(jnp.float32), pad_h, pad_w)
+def _conv_kernel(x_ref, w_ref, b_ref, o_ref, xp_ref, *, kh: int, kw: int):
+    out = _conv2d(x_ref[...].astype(jnp.float32), w_ref,
+                  b_ref[...].astype(jnp.float32), xp_ref, kh, kw)
     o_ref[...] = out.astype(o_ref.dtype)
+
+
+def _matmul_bias_kernel(x_ref, w_ref, b_ref, o_ref):
+    """1x1 conv: plain matmul over channels."""
+    x = x_ref[...].astype(jnp.float32)
+    bs, H, W, Ci = x.shape
+    out = _matmul(x.reshape(bs * H * W, Ci), w_ref)
+    co = w_ref.shape[-1]
+    o_ref[...] = (out.reshape(bs, H, W, co)
+                  + b_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
 
 
 def _concat_kernel(a_ref, b_ref, o_ref):
@@ -226,14 +275,19 @@ def _concat_kernel(a_ref, b_ref, o_ref):
 # pallas_call wrappers with a batch grid
 # ---------------------------------------------------------------------------
 
-# VMEM is ~16 MB/core: pick the per-step batch tile so weights + the biggest
-# live activations (input + output + padded conv buffer, float32) fit.
-_VMEM_BUDGET = 10 * 1024 * 1024  # bytes per kernel step (weights + acts)
+# Scoped VMEM is 16 MB/core. Mosaic's stack allocation runs well above the
+# naive input+output estimate (block double-buffering for grid pipelining,
+# f32 accumulators, transient padded copies), so budget conservatively; the
+# fori_loop conv keeps the padded scratch as the only large extra buffer.
+_VMEM_BUDGET = 8 * 1024 * 1024
+_FUDGE = 4
+_W_FUDGE = 2
 
 
 def _batch_tile(per_sample_bytes: int, batch: int,
                 weight_bytes: int = 0) -> int:
-    avail = max(_VMEM_BUDGET - weight_bytes, per_sample_bytes)
+    per_sample_bytes = _FUDGE * per_sample_bytes
+    avail = max(_VMEM_BUDGET - _W_FUDGE * weight_bytes, per_sample_bytes)
     bs = max(1, avail // max(per_sample_bytes, 1))
     bs = min(bs, batch)
     while batch % bs:
@@ -242,15 +296,19 @@ def _batch_tile(per_sample_bytes: int, batch: int,
 
 
 def _x_spec(bs, shape):
-    return pl.BlockSpec((bs,) + shape[1:], lambda i: (i,) + (0,) * (len(shape) - 1))
+    return pl.BlockSpec((bs,) + shape[1:],
+                        lambda i: (i,) + (0,) * (len(shape) - 1))
 
 
 def _w_spec(shape):
     return pl.BlockSpec(shape, lambda i: (0,) * len(shape))
 
 
-def _run(kernel, x, extras, out_shape, per_sample_bytes):
-    """Launch `kernel` over a batch grid; extras are (array, is_batched)."""
+def _run(kernel, x, extras, out_shape, per_sample_bytes, scratch=None):
+    """Launch `kernel` over a batch grid.
+
+    extras: list of (array, is_batched). scratch: callable bs -> list of
+    ShapeDtypeStructs allocated as VMEM scratch refs."""
     b = x.shape[0]
     weight_bytes = sum(int(a.size) * a.dtype.itemsize
                        for a, batched in extras if not batched)
@@ -259,35 +317,67 @@ def _run(kernel, x, extras, out_shape, per_sample_bytes):
     args = [x]
     for arr, batched in extras:
         args.append(arr)
-        in_specs.append(_x_spec(bs, arr.shape) if batched else _w_spec(arr.shape))
+        in_specs.append(_x_spec(bs, arr.shape) if batched
+                        else _w_spec(arr.shape))
+    scratch_shapes = []
+    if scratch is not None:
+        scratch_shapes = [pltpu.VMEM(s.shape, s.dtype) for s in scratch(bs)]
     return pl.pallas_call(
         kernel,
         grid=(b // bs,),
         in_specs=in_specs,
         out_specs=_x_spec(bs, out_shape),
         out_shape=jax.ShapeDtypeStruct(out_shape, x.dtype),
+        scratch_shapes=scratch_shapes,
+        compiler_params=pltpu.CompilerParams(
+            # Mosaic's stack accounting (relayouts for the NHWC->2D matmul
+            # reshapes + pipeline double-buffering) overshoots the 16MB
+            # default even for modest blocks; v5e has headroom above it.
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=_INTERPRET,
     )(*args)
 
 
+def _sd(shape, dtype):
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
+def _ralign(n: int, dtype) -> int:
+    """Round up to the dtype's sublane tile (8 f32):
+    dynamic_rotate needs aligned sublanes (and no bf16 lowering at all —
+    conv scratch therefore stays f32)."""
+    m = 16 if dtype == jnp.bfloat16 else 8
+    return (n + m - 1) // m * m
+
+
 def resblock(x, ss, p, groups: int = 1):
-    """p: dict with w1,b1,gs1,gb1,w2,b2,gs2,gb2[,wr,br]; ss: (B, 2*Co)."""
-    co = p["w1"].shape[-1]
+    """p: w1 (9,Ci,Co), b1, gs1, gb1, w2 (9,Co,Co), b2, gs2, gb2[, wr
+    (Ci,Co), br]; ss: (B, 2*Co) FiLM scale/shift."""
+    ss = ss[:, None, :]  # (B, 1, 2Co): keep the tiled dims full-size
+    ci, co = p["w1"].shape[1], p["w1"].shape[-1]
     has_res = "wr" in p
     out_shape = x.shape[:-1] + (co,)
-    per_sample = 4 * x.shape[1] * x.shape[2] * (3 * max(x.shape[3], co) + co)
-    wr = p.get("wr", jnp.zeros((1, 1, 1, 1), x.dtype))
+    _, H, W, _ = x.shape
+    per_sample = 4 * H * W * (2 * ci + 4 * co)
+    wr = p.get("wr", jnp.zeros((1, 1), x.dtype))
     br = p.get("br", jnp.zeros((1,), x.dtype))
     extras = [(ss, True), (p["w1"], False), (p["b1"], False),
               (p["gs1"], False), (p["gb1"], False), (p["w2"], False),
               (p["b2"], False), (p["gs2"], False), (p["gb2"], False),
               (wr, False), (br, False)]
+    f32 = jnp.float32
+
+    def scratch(bs):
+        return [_sd((bs, H + 2, _ralign(W + 2, f32), ci), f32),
+                _sd((bs, H + 2, _ralign(W + 2, f32), co), f32)]
+
     kern = functools.partial(_resblock_kernel, groups=groups, has_res=has_res)
-    return _run(kern, x, extras, out_shape, per_sample)
+    return _run(kern, x, extras, out_shape, per_sample, scratch)
 
 
 def linear_attention_block(x, p, heads: int = 4, dim_head: int = 32):
-    """p: norm_g, wqkv (1,1,C,3*hidden), wo, bo, out_g."""
+    """p: norm_g, wqkv (C, 3*hidden), wo (hidden, C), bo, out_g."""
     hidden = heads * dim_head
     n = x.shape[1] * x.shape[2]
     per_sample = 4 * n * (2 * x.shape[3] + 6 * hidden)
@@ -304,33 +394,104 @@ def attention_block(x, p, heads: int = 4, dim_head: int = 32):
     per_sample = 4 * (n * (2 * x.shape[3] + 4 * hidden) + heads * n * n)
     extras = [(p["norm_g"], False), (p["wqkv"], False), (p["wo"], False),
               (p["bo"], False)]
-    kern = functools.partial(_attention_kernel, heads=heads, dim_head=dim_head)
+    kern = functools.partial(_attention_kernel, heads=heads,
+                             dim_head=dim_head)
     return _run(kern, x, extras, x.shape, per_sample)
+
+
+def _use_xla_attention() -> bool:
+    """Mosaic can't yet lower the per-head reshapes (lane-dim splits); the
+    attention blocks run as plain XLA einsums — they are 9 of ~40 blocks and
+    XLA lowers them natively without the conv layout copies."""
+    return not _INTERPRET
+
+
+def linear_attention_block_xla(x, p, heads: int = 4, dim_head: int = 32):
+    """Same math as _linear_attention_kernel on packed weights, XLA level."""
+    b, H, W, C = x.shape
+    n = H * W
+    hidden = heads * dim_head
+    hn = _chan_layer_norm(x.astype(jnp.float32), p["norm_g"].astype(jnp.float32))
+    qkv = jnp.dot(hn.reshape(b * n, C).astype(p["wqkv"].dtype), p["wqkv"],
+                  preferred_element_type=jnp.float32)
+    qkv = qkv.reshape(b, n, 3, heads, dim_head)
+    q, k, v = (jnp.transpose(qkv[:, :, i], (0, 2, 3, 1)) for i in range(3))
+    q = jax.nn.softmax(q, axis=-2) * (dim_head ** -0.5)
+    k = jax.nn.softmax(k, axis=-1)
+    context = jnp.einsum("bhdn,bhen->bhde", k, v,
+                         preferred_element_type=jnp.float32)
+    out = jnp.einsum("bhde,bhdn->bhen", context, q,
+                     preferred_element_type=jnp.float32)
+    out = jnp.transpose(out, (0, 3, 1, 2)).reshape(b * n, hidden)
+    out = jnp.dot(out.astype(p["wo"].dtype), p["wo"],
+                  preferred_element_type=jnp.float32)
+    out = out.reshape(b, H, W, C) + p["bo"].astype(jnp.float32)
+    out = _chan_layer_norm(out, p["out_g"].astype(jnp.float32))
+    return (x + out).astype(x.dtype)
+
+
+def attention_block_xla(x, p, heads: int = 4, dim_head: int = 32):
+    b, H, W, C = x.shape
+    n = H * W
+    hidden = heads * dim_head
+    hn = _chan_layer_norm(x.astype(jnp.float32), p["norm_g"].astype(jnp.float32))
+    qkv = jnp.dot(hn.reshape(b * n, C).astype(p["wqkv"].dtype), p["wqkv"],
+                  preferred_element_type=jnp.float32)
+    qkv = qkv.reshape(b, n, 3, heads, dim_head)
+    q = qkv[:, :, 0] * (dim_head ** -0.5)
+    k, v = qkv[:, :, 1], qkv[:, :, 2]
+    sim = jnp.einsum("bihd,bjhd->bhij", q, k,
+                     preferred_element_type=jnp.float32)
+    attn = jax.nn.softmax(sim, axis=-1)
+    out = jnp.einsum("bhij,bjhd->bihd", attn, v,
+                     preferred_element_type=jnp.float32)
+    out = jnp.dot(out.reshape(b * n, hidden).astype(p["wo"].dtype), p["wo"],
+                  preferred_element_type=jnp.float32)
+    out = out.reshape(b, H, W, C) + p["bo"].astype(jnp.float32)
+    return (x + out).astype(x.dtype)
 
 
 def downsample(x, p):
     co = p["w"].shape[-1]
     out_shape = (x.shape[0], x.shape[1] // 2, x.shape[2] // 2, co)
-    per_sample = 4 * x.shape[1] * x.shape[2] * (x.shape[3] + co // 2)
+    per_sample = 4 * x.shape[1] * x.shape[2] * (2 * x.shape[3] + co // 2)
     return _run(_downsample_kernel, x, [(p["w"], False), (p["b"], False)],
                 out_shape, per_sample)
 
 
 def upsample(x, p):
     co = p["w"].shape[-1]
-    out_shape = (x.shape[0], x.shape[1] * 2, x.shape[2] * 2, co)
-    per_sample = 4 * 4 * x.shape[1] * x.shape[2] * (2 * x.shape[3] + co)
+    ci = p["w"].shape[1]
+    b, H, W, _ = x.shape
+    out_shape = (b, H * 2, W * 2, co)
+    per_sample = 4 * 4 * H * W * (3 * ci + 2 * co)
+    f32 = jnp.float32
+
+    def scratch(bs):
+        return [_sd((bs, 2 * H + 2, _ralign(2 * W + 2, f32), ci), f32)]
+
     return _run(_upsample_kernel, x, [(p["w"], False), (p["b"], False)],
-                out_shape, per_sample)
+                out_shape, per_sample, scratch)
 
 
-def conv(x, p, pad_h=1, pad_w=1):
+def conv(x, p, kh: int, kw: int):
+    """Same-padded KxK conv; 1x1 takes the pure-matmul kernel."""
     co = p["w"].shape[-1]
+    ci = p["w"].shape[1]
     out_shape = x.shape[:-1] + (co,)
-    per_sample = 4 * x.shape[1] * x.shape[2] * (2 * x.shape[3] + 2 * co)
-    kern = functools.partial(_conv_kernel, pad_h=pad_h, pad_w=pad_w)
+    b, H, W, _ = x.shape
+    per_sample = 4 * H * W * (3 * ci + 2 * co)
+    if kh == kw == 1:
+        return _run(_matmul_bias_kernel, x,
+                    [(p["w"], False), (p["b"], False)], out_shape, per_sample)
+    f32 = jnp.float32
+
+    def scratch(bs):
+        return [_sd((bs, H + kh - 1, _ralign(W + kw - 1, f32), ci), f32)]
+
+    kern = functools.partial(_conv_kernel, kh=kh, kw=kw)
     return _run(kern, x, [(p["w"], False), (p["b"], False)], out_shape,
-                per_sample)
+                per_sample, scratch)
 
 
 def concat_channels(a, b):
@@ -345,33 +506,49 @@ def concat_channels(a, b):
 
 
 def _conv_p(c):
-    return {"w": jnp.asarray(c["kernel"]), "b": jnp.asarray(c["bias"])}
+    """KxK conv kernel (kh, kw, Ci, Co) -> taps-major (kh*kw, Ci, Co);
+    1x1 -> (Ci, Co)."""
+    k = jnp.asarray(c["kernel"])
+    kh, kw, ci, co = k.shape
+    w = k.reshape(ci, co) if kh == kw == 1 else k.reshape(kh * kw, ci, co)
+    return {"w": w, "b": jnp.asarray(c["bias"])}
+
+
+def _down_p(c):
+    """Downsample 1x1 conv over space-to-depth features: the Flax kernel's
+    input dim is ordered (c p1 p2) (torch order, nets/blocks.py:205-211);
+    the kernel computes (p1 p2 c), so permute the weight rows to match."""
+    k = jnp.asarray(c["kernel"])  # (1, 1, 4C, Co)
+    ci4, co = k.shape[2], k.shape[3]
+    c4 = ci4 // 4
+    w = k.reshape(c4, 2, 2, co)           # rows ordered (c, p1, p2)
+    w = jnp.transpose(w, (1, 2, 0, 3))    # -> (p1, p2, c)
+    return {"w": w.reshape(4, c4, co), "b": jnp.asarray(c["bias"])}
 
 
 def _res_p(r):
     out = {
-        "w1": jnp.asarray(r["block1"]["proj"]["kernel"]),
-        "b1": jnp.asarray(r["block1"]["proj"]["bias"]),
         "gs1": jnp.asarray(r["block1"]["norm"]["scale"]),
         "gb1": jnp.asarray(r["block1"]["norm"]["bias"]),
-        "w2": jnp.asarray(r["block2"]["proj"]["kernel"]),
-        "b2": jnp.asarray(r["block2"]["proj"]["bias"]),
         "gs2": jnp.asarray(r["block2"]["norm"]["scale"]),
         "gb2": jnp.asarray(r["block2"]["norm"]["bias"]),
         "film_w": jnp.asarray(r["mlp"]["kernel"]),
         "film_b": jnp.asarray(r["mlp"]["bias"]),
     }
+    c1, c2 = _conv_p(r["block1"]["proj"]), _conv_p(r["block2"]["proj"])
+    out["w1"], out["b1"] = c1["w"], c1["b"]
+    out["w2"], out["b2"] = c2["w"], c2["b"]
     if "res_conv" in r:
-        out["wr"] = jnp.asarray(r["res_conv"]["kernel"])
-        out["br"] = jnp.asarray(r["res_conv"]["bias"])
+        rc = _conv_p(r["res_conv"])
+        out["wr"], out["br"] = rc["w"], rc["b"]
     return out
 
 
 def _attn_p(a):
     out = {
         "norm_g": jnp.asarray(a["norm"]["g"]),
-        "wqkv": jnp.asarray(a["attn"]["to_qkv"]["kernel"]),
-        "wo": jnp.asarray(a["attn"]["to_out"]["kernel"]),
+        "wqkv": jnp.asarray(a["attn"]["to_qkv"]["kernel"])[0, 0],
+        "wo": jnp.asarray(a["attn"]["to_out"]["kernel"])[0, 0],
         "bo": jnp.asarray(a["attn"]["to_out"]["bias"]),
     }
     if "out_norm" in a["attn"]:
@@ -390,10 +567,8 @@ def pack_unet2d_params(params, dim: int = 64,
     biases, and FiLM projections stay float32."""
     p = params["params"] if "params" in params else params
     n = len(dim_mults)
+    del dim, groups  # structure is recovered from shapes/keys at apply time
     packed: Dict[str, Any] = {
-        "dim": dim,
-        "n_levels": n,
-        "groups": groups,
         "time_fc1_w": jnp.asarray(p["time_mlp"]["fc1"]["kernel"]),
         "time_fc1_b": jnp.asarray(p["time_mlp"]["fc1"]["bias"]),
         "time_fc2_w": jnp.asarray(p["time_mlp"]["fc2"]["kernel"]),
@@ -411,7 +586,7 @@ def pack_unet2d_params(params, dim: int = 64,
         packed[f"down_{i}_attn"] = _attn_p(p[f"down_{i}_attn"])
         d = p[f"down_{i}_downsample"]
         packed[f"down_{i}_downsample"] = (
-            _conv_p(d["conv"]) if "conv" in d else _conv_p(d))
+            _down_p(d["conv"]) if "conv" in d else _conv_p(d))
         packed[f"up_{i}_block1"] = _res_p(p[f"up_{i}_block1"])
         packed[f"up_{i}_block2"] = _res_p(p[f"up_{i}_block2"])
         packed[f"up_{i}_attn"] = _attn_p(p[f"up_{i}_attn"])
@@ -428,9 +603,6 @@ def pack_unet2d_params(params, dim: int = 64,
     return packed
 
 
-_RES_NAMES = None
-
-
 def _res_names(n):
     names = []
     for i in range(n):
@@ -443,7 +615,7 @@ def _res_names(n):
 
 
 def _time_embedding(packed, t, theta: float = 10000.0):
-    dim = packed["dim"]
+    dim = packed["time_fc1_w"].shape[0]
     half = dim // 2
     freqs = jnp.exp(jnp.arange(half, dtype=jnp.float32)
                     * (-math.log(theta) / (half - 1)))
@@ -454,11 +626,18 @@ def _time_embedding(packed, t, theta: float = 10000.0):
     return emb @ packed["time_fc2_w"] + packed["time_fc2_b"]
 
 
+def _n_levels(packed):
+    n = 0
+    while f"down_{n}_block1" in packed:
+        n += 1
+    return n
+
+
 def _film_all(packed, temb):
     """All ResBlock FiLM projections as ONE matmul: silu(temb) @ [W_0 | W_1
     | ...], split per block."""
     h = jax.nn.silu(temb)
-    names = _res_names(packed["n_levels"])
+    names = _res_names(_n_levels(packed))
     ws = jnp.concatenate([packed[nm]["film_w"] for nm in names], axis=1)
     bs = jnp.concatenate([packed[nm]["film_b"] for nm in names], axis=0)
     ss = h @ ws + bs
@@ -470,29 +649,47 @@ def _film_all(packed, temb):
     return out
 
 
-def unet2d_pallas_apply(packed, x, t):
-    """Forward pass matching UNet2D.apply (float32). x: (B, T, X, C)."""
-    n = packed["n_levels"]
-    g = packed.get("groups", 1)
+def _conv_xla(x, p, kh: int, kw: int):
+    """Plain XLA conv for the tiny-channel ends of the net: with 2 in/out
+    channels the Pallas windows pad the lane dim 64x (50MB VMEM for the
+    final 1x1); XLA handles these as single ops."""
+    w = p["w"]
+    ci = w.shape[-2] if w.ndim == 2 else w.shape[1]
+    k4 = w.reshape(kh, kw, ci, w.shape[-1]).astype(jnp.float32)
+    out = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32), k4, (1, 1),
+        [((kh - 1) // 2, kh // 2), ((kw - 1) // 2, kw // 2)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return out + p["b"].astype(jnp.float32)
+
+
+def unet2d_pallas_apply(packed, x, t, groups: int = 1):
+    """Forward pass matching UNet2D.apply (float32). x: (B, T, X, C).
+
+    groups must match the Flax net's resnet_block_groups (static)."""
+    n = _n_levels(packed)
+    g = groups
     temb = _time_embedding(packed, t)
     film = _film_all(packed, temb)
 
-    x = conv(x, packed["init_conv"], pad_h=3, pad_w=3)
+    x = _conv_xla(x, packed["init_conv"], 7, 7)
     r = x
     h = []
     for i in range(n):
         x = resblock(x, film[f"down_{i}_block1"], packed[f"down_{i}_block1"], g)
         h.append(x)
         x = resblock(x, film[f"down_{i}_block2"], packed[f"down_{i}_block2"], g)
-        x = linear_attention_block(x, packed[f"down_{i}_attn"])
+        x = (linear_attention_block_xla if _use_xla_attention()
+             else linear_attention_block)(x, packed[f"down_{i}_attn"])
         h.append(x)
         if i < n - 1:
             x = downsample(x, packed[f"down_{i}_downsample"])
         else:
-            x = conv(x, packed[f"down_{i}_downsample"], pad_h=1, pad_w=1)
+            x = conv(x, packed[f"down_{i}_downsample"], 3, 3)
 
     x = resblock(x, film["mid_block1"], packed["mid_block1"], g)
-    x = attention_block(x, packed["mid_attn"])
+    x = (attention_block_xla if _use_xla_attention()
+         else attention_block)(x, packed["mid_attn"])
     x = resblock(x, film["mid_block2"], packed["mid_block2"], g)
 
     for i in range(n):
@@ -500,12 +697,13 @@ def unet2d_pallas_apply(packed, x, t):
         x = resblock(x, film[f"up_{i}_block1"], packed[f"up_{i}_block1"], g)
         x = concat_channels(x, h.pop())
         x = resblock(x, film[f"up_{i}_block2"], packed[f"up_{i}_block2"], g)
-        x = linear_attention_block(x, packed[f"up_{i}_attn"])
+        x = (linear_attention_block_xla if _use_xla_attention()
+             else linear_attention_block)(x, packed[f"up_{i}_attn"])
         if i < n - 1:
             x = upsample(x, packed[f"up_{i}_upsample"])
         else:
-            x = conv(x, packed[f"up_{i}_upsample"], pad_h=1, pad_w=1)
+            x = conv(x, packed[f"up_{i}_upsample"], 3, 3)
 
     x = concat_channels(x, r)
     x = resblock(x, film["final_res"], packed["final_res"], g)
-    return conv(x, packed["final_conv"], pad_h=0, pad_w=0)
+    return _conv_xla(x, packed["final_conv"], 1, 1)

@@ -50,6 +50,11 @@ def build_parser():
     p.add_argument("--ddim_sampling_steps", default=1000, type=int)
     p.add_argument("--J_scheduler", default=None, type=none_or_str)
     p.add_argument("--w_scheduler", default=None, type=none_or_str)
+    p.add_argument("--proj_guidance", default=None, type=none_or_str,
+                   choices=[None, "ep_orthogonal_F", "ep_orthogonal_1D_x",
+                            "ep_orthogonal_1D_t"],
+                   help="orthogonal-projection guidance combiner "
+                        "(reference get_proj_ep_orthogonal_func)")
     p.add_argument("--recurrence", default=False, type=eval)
     p.add_argument("--recurrence_k", default=1, type=int)
     p.add_argument("--wfs", nargs="+", default=[0.0], type=float)
@@ -171,6 +176,7 @@ def main(args):
             guidance = bench.build_guidance(
                 cfg, tgt, wu=wu, wf=wf, wreg=args.wreg,
                 j_scheduler=args.J_scheduler, w_scheduler=args.w_scheduler,
+                proj_guidance=args.proj_guidance,
             )
             cond_vals = {
                 "u0": tgt[:, 0, :] / bench.RESCALER,

@@ -37,6 +37,8 @@ def build_parser():
     p.add_argument("--lr", default=1e-4, type=float)
     p.add_argument("--results_folder", default=None, type=str)
     p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--resume", default=False, type=eval,
+                   help="auto-restore the latest checkpoint in results_folder")
 
     p.add_argument("--is_condition_u0", default=False, type=eval)
     p.add_argument("--is_condition_uT", default=False, type=eval)
@@ -125,6 +127,11 @@ def main(args):
         gd, params, ArrayDataset(data).batches(args.batch_size, seed=args.seed),
         bench.derive_cond, tcfg,
     )
+    if args.resume:
+        if trainer.resume():
+            print(f"resumed from step {int(trainer.state.step)}")
+        else:
+            print("no checkpoint found; starting fresh")
     trainer.train()
     trainer.save()
     print("training complete")

@@ -42,6 +42,8 @@ def build_parser():
                         "reference train entry used n_state (see SURVEY)")
     p.add_argument("--bf16", default=False, type=eval)
     p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--resume", default=False, type=eval,
+                   help="auto-restore the latest checkpoint in results_folder")
     return p
 
 
@@ -121,6 +123,11 @@ def main(args):
             return gd.loss(params, key, batch, model_type)
 
     trainer = Trainer(_GD, params, batches(), lambda b: None, tcfg)
+    if args.resume:
+        if trainer.resume():
+            print(f"resumed from step {int(trainer.state.step)}")
+        else:
+            print("no checkpoint found; starting fresh")
     trainer.train()
     trainer.save()
     print("training complete")

@@ -34,6 +34,8 @@ def build_parser():
     p.add_argument("--beta_schedule", default="linear", type=str)
     p.add_argument("--bf16", default=False, type=eval)
     p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--resume", default=False, type=eval,
+                   help="auto-restore the latest checkpoint in results_folder")
     return p
 
 
@@ -75,6 +77,11 @@ def main(args):
         ArrayDataset(data).batches(args.batch_size, seed=args.seed),
         bench.derive_cond, tcfg,
     )
+    if args.resume:
+        if trainer.resume():
+            print(f"resumed from step {int(trainer.state.step)}")
+        else:
+            print("no checkpoint found; starting fresh")
     trainer.train()
     trainer.save()
     print("training complete")

@@ -33,6 +33,11 @@ def build_parser():
                    help="npy of (N, T) force labels; if absent, a synthetic "
                         "pseudo-force -sin(theta)*|dtheta| is used")
     p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--resume_training", default=False, type=eval,
+                   help="restore <results_folder>/<model>/resume_state "
+                        "(reference train_surrogate_models_jellyfish.py:64)")
+    p.add_argument("--save_every", default=0, type=int,
+                   help="periodic full-state checkpoint interval (steps)")
     return p
 
 
@@ -86,9 +91,10 @@ def main(args):
         lr=args.lr, batch_size=args.batch_size, num_steps=args.num_steps,
         lr_milestones=(args.num_steps // 2, (args.num_steps * 4) // 5),
         results_folder=os.path.join(args.results_folder, args.model),
-        seed=args.seed,
+        seed=args.seed, save_every=args.save_every,
     )
-    state, last = train_surrogate(apply_fn, params, inputs, targets, scfg)
+    state, last = train_surrogate(apply_fn, params, inputs, targets, scfg,
+                                  resume=args.resume_training)
     save_surrogate(state, args.results_folder, args.model)
     print(f"{args.model} trained: final loss {last}")
 

@@ -175,19 +175,30 @@ def evaluate_samples(x, u_target, cfg: BurgersConfig) -> EvalResult:
 
 def build_guidance(cfg: BurgersConfig, u_target, wu=0.0, wf=0.0, wreg=0.0,
                    j_scheduler: Optional[str] = None,
-                   w_scheduler: Optional[str] = None) -> GuidanceSpec:
+                   w_scheduler: Optional[str] = None,
+                   proj_guidance: Optional[str] = None) -> GuidanceSpec:
     """Guidance closure over the (rescaled) target
-    (reference get_nablaJ_2dconv, inference_1d_burgers.py:129-168)."""
+    (reference get_nablaJ_2dconv, inference_1d_burgers.py:129-168).
+    proj_guidance: None = additive combiner; 'ep_orthogonal_F' /
+    'ep_orthogonal_1D_x' / 'ep_orthogonal_1D_t' = the reference's
+    orthogonal projection (diffusion_1d_burgers.py:51-66)."""
     loss_fn = burgers_guidance_from_x(
         jnp.asarray(u_target) / RESCALER, wu=wu, wf=wf, wreg=wreg,
         use_dist_reg=wreg != 0,
         partially_observed=cfg.partially_observed,
         nt_u=cfg.nt_total, nt_f=cfg.nt_total - 1,
     )
+    kwargs = {}
+    if proj_guidance:
+        from diffphycon_tpu.diffusion import get_proj_ep_orthogonal
+
+        norm = proj_guidance.removeprefix("ep_orthogonal_")
+        kwargs["proj"] = get_proj_ep_orthogonal(norm)
     return GuidanceSpec(
         nabla_j=make_nabla_j(loss_fn) if (wu or wf or wreg) else None,
         j_schedule=(make_guidance_schedule(j_scheduler, cfg.timesteps)
                     if j_scheduler else None),
         w_schedule=(make_guidance_schedule(w_scheduler, cfg.timesteps)
                     if w_scheduler else None),
+        **kwargs,
     )

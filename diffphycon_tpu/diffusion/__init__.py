@@ -14,4 +14,5 @@ from diffphycon_tpu.diffusion.core import (
 from diffphycon_tpu.diffusion.conditioning import (
     burgers_cond_spec,
     burgers_derive_cond,
+    get_proj_ep_orthogonal,
 )

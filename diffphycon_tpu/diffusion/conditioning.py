@@ -210,3 +210,48 @@ def smoke_derive_cond(x_start):
     """{init}: frame-0 density from a clean batch (B, 32, 64, 64, C)
     (reference p_losses conditioning source, diffusion_2d_smoke.py:815)."""
     return {"init": x_start[:, 0, :, :, 0]}
+
+
+def get_proj_ep_orthogonal(norm: str = "F"):
+    """Orthogonal-projection guidance combiner, the TPU port of the
+    reference's get_proj_ep_orthogonal_func
+    (/root/reference/diffusion/diffusion_1d_burgers.py:51-66): instead of the
+    additive default ``eps + g`` it removes the component of ``g`` parallel
+    to ``eps``, i.e. eps + g - <g, eps> * eps / ||eps||.
+
+    Layout: channels-last (B, T, X, C) here vs the reference's (B, C, T, X);
+    the reduction axes map accordingly (F: over (T, X); 1D_x: over X;
+    1D_t: over T).
+
+    Quirks preserved from the reference: the 'F' inner product
+    ``(nabla_J * ep).sum()`` is a GLOBAL scalar (summed over batch and
+    channels too) while the denominator is a per-(batch, channel) norm.
+    Deviation: the reference's '1D_t' multiplies a (B, C, X) tensor with a
+    (B, C, T, X) one, which torch cannot broadcast (it raises for T != C);
+    we implement the evident intent by keeping the reduced axis.
+    """
+    if norm == "F":
+
+        def proj(ep, g):
+            num = (g * ep).sum()
+            den = jnp.sqrt(jnp.square(ep).sum(axis=(1, 2), keepdims=True))
+            return ep + g - num * ep / den
+
+    elif norm == "1D_x":
+
+        def proj(ep, g):
+            num = (g * ep).sum(axis=2, keepdims=True)
+            den = jnp.sqrt(jnp.square(ep).sum(axis=2, keepdims=True))
+            return ep + g - num * ep / den
+
+    elif norm == "1D_t":
+
+        def proj(ep, g):
+            num = (g * ep).sum(axis=1, keepdims=True)
+            den = jnp.sqrt(jnp.square(ep).sum(axis=1, keepdims=True))
+            return ep + g - num * ep / den
+
+    else:
+        raise NotImplementedError(f"unknown proj norm {norm!r}")
+
+    return proj

@@ -4,6 +4,7 @@ from diffphycon_tpu.physics.fluids.grids import (
     staggered_at_centers,
     staggered_at_faces,
     advect_centered,
+    advect_staggered,
     resample_linear,
 )
 from diffphycon_tpu.physics.fluids.pressure import (

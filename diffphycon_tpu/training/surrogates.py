@@ -67,14 +67,57 @@ class SurrogateTrainConfig:
     lr_milestones: tuple = (5_000, 8_000)
     lr_gamma: float = 0.1
     log_every: int = 100
+    save_every: int = 0  # 0 = no periodic full-state checkpoints
     results_folder: str = "./trained_models/surrogate"
     seed: int = 0
 
 
+def _state_ckpt_save(state, out_dir: Path):
+    import orbax.checkpoint as ocp
+
+    payload = {
+        "step": int(jax.device_get(state.step)),
+        "params": jax.device_get(state.params),
+        "ema_params": jax.device_get(state.ema_params),
+        "opt_state": jax.device_get(state.opt_state),
+    }
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save((out_dir / "resume_state").resolve(), payload, force=True)
+    ckptr.wait_until_finished()
+    ckptr.close()
+
+
+def _state_ckpt_restore(state, out_dir: Path):
+    import orbax.checkpoint as ocp
+
+    path = (out_dir / "resume_state").resolve()
+    if not path.is_dir():
+        return state, False
+    target = {
+        "step": int(jax.device_get(state.step)),
+        "params": jax.device_get(state.params),
+        "ema_params": jax.device_get(state.ema_params),
+        "opt_state": jax.device_get(state.opt_state),
+    }
+    ckptr = ocp.StandardCheckpointer()
+    payload = ckptr.restore(path, target=target)
+    ckptr.close()
+    return state.replace(
+        step=jnp.asarray(payload["step"], jnp.int32),
+        params=payload["params"],
+        ema_params=payload["ema_params"],
+        opt_state=payload["opt_state"],
+    ), True
+
+
 def train_surrogate(apply_fn: Callable, params, inputs: tuple,
                     targets: np.ndarray, cfg: SurrogateTrainConfig,
-                    mesh=None):
-    """Generic jitted regression loop; returns (state, final_loss)."""
+                    mesh=None, resume: bool = False):
+    """Generic jitted regression loop; returns (state, final_loss).
+
+    resume=True restores <results_folder>/resume_state when present
+    (reference --resume_training,
+    train_surrogate_models_jellyfish.py:64-68,129-148)."""
     mesh = mesh if mesh is not None else make_mesh()
     tx = make_optimizer(
         multistep_lr(cfg.lr, cfg.lr_milestones, cfg.lr_gamma))
@@ -90,14 +133,20 @@ def train_surrogate(apply_fn: Callable, params, inputs: tuple,
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
         return state.apply_gradients(grads), loss
 
-    rng = np.random.default_rng(cfg.seed)
     n = targets.shape[0]
     out_dir = Path(cfg.results_folder)
     out_dir.mkdir(parents=True, exist_ok=True)
+    start = 0
+    if resume:
+        state, ok = _state_ckpt_restore(state, out_dir)
+        if ok:
+            state = replicate(mesh, state)
+            start = int(jax.device_get(state.step))
+    rng = np.random.default_rng(cfg.seed + start)
     t0 = time.time()
     last = None
     with open(out_dir / "train_log.jsonl", "a") as logf:
-        for i in range(cfg.num_steps):
+        for i in range(start, cfg.num_steps):
             idx = rng.integers(0, n, cfg.batch_size)
             batch = tuple(jnp.asarray(x[idx]) for x in inputs) + (
                 jnp.asarray(targets[idx]),)
@@ -109,6 +158,8 @@ def train_surrogate(apply_fn: Callable, params, inputs: tuple,
                     {"step": i + 1, "loss": last,
                      "wall_s": round(time.time() - t0, 2)}) + "\n")
                 logf.flush()
+            if cfg.save_every and (i + 1) % cfg.save_every == 0:
+                _state_ckpt_save(state, out_dir)
     return state, last
 
 

@@ -104,10 +104,10 @@ class TrainState(struct.PyTreeNode):
         # number of completed optimizer steps after this update
         step = self.step + 1
         is_update_step = (step % cfg.update_every) == 0
-        k = jnp.maximum(
-            (step // cfg.update_every) - cfg.update_after_step // cfg.update_every,
-            0,
-        ).astype(jnp.float32)
+        # ema_pytorch counts the warmup epoch in RAW optimizer steps
+        # (ema_pytorch.EMA.get_current_decay: epoch = step - update_after_step - 1),
+        # with update_every gating only whether an update happens.
+        k = jnp.maximum(step - cfg.update_after_step - 1, 0).astype(jnp.float32)
         warm = 1.0 - (1.0 + k / cfg.inv_gamma) ** (-cfg.power)
         decay = jnp.clip(warm, 0.0, cfg.beta)
         # copy phase (decay==0 when k==0), then lerp

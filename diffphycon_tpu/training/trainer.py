@@ -190,6 +190,40 @@ class Trainer:
             ),
         )
 
+    def resume(self, milestone: Optional[int] = None) -> bool:
+        """Restore the latest (or given) milestone: step, params, EMA and
+        optimizer state, so a killed run continues where it left off
+        (reference --resume_training,
+        /root/reference/train/train_surrogate_models_jellyfish.py:64-68,129-148;
+        Trainer.load milestone ctor args, diffusion_1d_burgers.py:950-972).
+
+        Returns True when a checkpoint was restored, False when none exists
+        (fresh run). The RNG stream is re-seeded deterministically from
+        (seed, restored step) so resumed batches don't replay step 0's keys.
+        """
+        if milestone is None:
+            milestone = self.latest_milestone(str(self.results_folder))
+        if milestone is None:
+            return False
+        self.load(milestone)
+        step = int(jax.device_get(self.state.step))
+        self._rng = jax.random.fold_in(
+            jax.random.PRNGKey(self.cfg.seed), step)
+        return True
+
+    @staticmethod
+    def latest_milestone(results_folder: str) -> Optional[int]:
+        """Largest saved milestone id in <results_folder>/ckpt, or None."""
+        import orbax.checkpoint as ocp
+
+        path = (Path(results_folder) / "ckpt").resolve()
+        if not path.is_dir():
+            return None
+        mgr = ocp.CheckpointManager(path)
+        latest = mgr.latest_step()
+        mgr.close()
+        return latest
+
     @staticmethod
     def load_params(results_folder: str, milestone: int, use_ema: bool = True):
         """Restore just the (EMA) params for inference."""

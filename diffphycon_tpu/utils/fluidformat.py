@@ -17,15 +17,21 @@ import numpy as np
 
 
 def read_zipped_array(filename: str) -> np.ndarray:
-    """(reference fluidformat.py:7-13): first entry of the npz archive."""
+    """(reference fluidformat.py:7-13): first entry of the npz archive,
+    normalized to a leading singleton batch dim (files are stored stripped)."""
     file = np.load(filename)
     array = file[file.files[0]]
     file.close()
+    if array.shape[0] != 1:
+        array = array.reshape((1,) + array.shape)
     return array
 
 
 def write_zipped_array(filename: str, array: np.ndarray) -> None:
-    """(reference fluidformat.py:15-19)."""
+    """(reference fluidformat.py:15-19): a singleton leading dim is stripped
+    on disk, mirroring the reference so files round-trip byte-compatibly."""
+    if array.shape[0] == 1:
+        array = array[0, ...]
     np.savez_compressed(filename, array)
 
 

@@ -82,11 +82,30 @@ int parse_npy_header(const unsigned char* buf, long len, NpyInfo* info) {
     while (*s == ' ' || *s == ',') s++;
     if (!*s) break;
     long v = strtol(s, (char**)&s, 10);
+    if (v < 0) return -9;
     if (info->ndim < 8) info->shape[info->ndim] = v;
     info->ndim++;
     info->elems *= v;
   }
   if (info->ndim == 0) { info->shape[0] = 1; }
+  return 0;
+}
+
+long npy_itemsize(int dtype_code) {
+  switch (dtype_code) {
+    case 1: return 4;   // f32
+    case 2: return 8;   // f64
+    case 3: return 8;   // i64
+    case 4: return 2;   // f16
+  }
+  return 0;
+}
+
+// A truncated/malformed file whose header declares more elements than the
+// payload holds must not cause a heap over-read.
+int check_npy_payload(const NpyInfo& info, long total_bytes) {
+  long need = info.elems * npy_itemsize(info.dtype_code);
+  if (need < 0 || info.header_bytes + need > total_bytes) return -9;
   return 0;
 }
 
@@ -148,6 +167,7 @@ int load_one_npy(const char* path, float* out, long expect_elems) {
   int rc = parse_npy_header(buf.data(), fsize, &info);
   if (rc) return rc;
   if (expect_elems >= 0 && info.elems != expect_elems) return -8;
+  if ((rc = check_npy_payload(info, fsize))) return rc;
   return convert_to_f32(buf.data() + info.header_bytes, info, out);
 }
 
@@ -213,12 +233,16 @@ int load_one_npz(const char* path, const char* member, float* out,
   ZipMember m;
   int rc = find_zip_member(buf.data(), fsize, member, &m);
   if (rc) return rc;
-  // local header: skip name + extra
+  // local header: skip name + extra (bounds-check every derived offset
+  // against the file size — a corrupt central directory must not cause
+  // reads past the buffer)
   long p = m.offset;
+  if (p < 0 || p + 30 > fsize) return -17;
   if (memcmp(buf.data() + p, "PK\x03\x04", 4) != 0) return -13;
   uint16_t nlen = buf[p + 26] | (buf[p + 27] << 8);
   uint16_t elen = buf[p + 28] | (buf[p + 29] << 8);
   long data_off = p + 30 + nlen + elen;
+  if (m.comp_size < 0 || data_off + m.comp_size > fsize) return -17;
 
   std::vector<unsigned char> npy;
   if (m.method == 0) {
@@ -242,6 +266,7 @@ int load_one_npz(const char* path, const char* member, float* out,
   rc = parse_npy_header(npy.data(), (long)npy.size(), &info);
   if (rc) return rc;
   if (expect_elems >= 0 && info.elems != expect_elems) return -8;
+  if ((rc = check_npy_payload(info, (long)npy.size()))) return rc;
   return convert_to_f32(npy.data() + info.header_bytes, info, out);
 }
 

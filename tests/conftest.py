@@ -126,3 +126,8 @@ def reference_path():
         sys.path.insert(0, str(REFERENCE))
     _stub_missing_reference_deps()
     return REFERENCE
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running golden/e2e regression tests")

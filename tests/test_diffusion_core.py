@@ -278,3 +278,32 @@ def test_recurrence_runs():
     gd = make_gd(timesteps=10, recurrence=True, recurrence_k=2)
     x = gd.sample(None, jax.random.PRNGKey(0), batch_size=1)
     assert np.isfinite(np.asarray(x)).all()
+
+
+def test_proj_ep_orthogonal_parity(reference_path):
+    """get_proj_ep_orthogonal matches the reference combiner
+    (diffusion_1d_burgers.py:51-66) for the F and 1D_x norms (the reference's
+    1D_t branch raises on broadcast for these shapes; ours keeps the axis)."""
+    import torch
+
+    from diffusion.diffusion_1d_burgers import get_proj_ep_orthogonal_func
+
+    from diffphycon_tpu.diffusion import get_proj_ep_orthogonal
+
+    rng = np.random.default_rng(0)
+    # reference layout (B, C, T, X); ours channels-last (B, T, X, C)
+    ep = rng.normal(size=(3, 2, 16, 128)).astype(np.float32)
+    g = 0.1 * rng.normal(size=(3, 2, 16, 128)).astype(np.float32)
+    for norm in ("F", "1D_x"):
+        ref = get_proj_ep_orthogonal_func(norm)(
+            torch.from_numpy(ep), torch.from_numpy(g)).numpy()
+        ours = get_proj_ep_orthogonal(norm)(
+            jnp.asarray(ep.transpose(0, 2, 3, 1)),
+            jnp.asarray(g.transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(
+            np.asarray(ours).transpose(0, 3, 1, 2), ref, rtol=2e-5, atol=2e-5)
+    # 1D_t: sane output with the reduced axis kept
+    out = get_proj_ep_orthogonal("1D_t")(
+        jnp.asarray(ep.transpose(0, 2, 3, 1)),
+        jnp.asarray(g.transpose(0, 2, 3, 1)))
+    assert np.isfinite(np.asarray(out)).all()

@@ -43,10 +43,19 @@ def test_ks_differentiable():
 
 
 def test_scene_roundtrip(tmp_path):
-    arr = np.random.default_rng(0).normal(size=(8, 8, 2)).astype(np.float32)
+    arr = np.random.default_rng(0).normal(size=(1, 8, 8, 2)).astype(np.float32)
     p = str(tmp_path / "field.npz")
     write_zipped_array(p, arr)
+    # reference semantics: stored stripped of the singleton batch dim,
+    # re-added on read (phi/fluidformat.py:7-19)
+    with np.load(p) as f:
+        assert f[f.files[0]].shape == (8, 8, 2)
     np.testing.assert_array_equal(read_zipped_array(p), arr)
+    # a file written by the reference pipeline (already stripped) also loads
+    # with the leading singleton
+    p2 = str(tmp_path / "field2.npz")
+    np.savez_compressed(p2, arr[0])
+    np.testing.assert_array_equal(read_zipped_array(p2), arr)
 
     sc = Scene.create(str(tmp_path), "smoke")
     sc.write_sim_frame([arr, arr * 2], ["Density", "Velocity"], 3)

@@ -70,3 +70,16 @@ def test_fortran_order_fallback(tmp_path):
     np.save(p, a)
     out = load_npy_batch([str(p)], (4, 6))
     np.testing.assert_array_equal(out[0], a)
+
+
+def test_truncated_npy_rejected(tmp_path):
+    """A header that declares more elements than the payload holds must not
+    be heap-over-read by the native loader; it errors out and the numpy
+    fallback then raises."""
+    a = np.random.default_rng(4).normal(size=(32, 32)).astype(np.float32)
+    p = tmp_path / "t.npy"
+    np.save(p, a)
+    data = p.read_bytes()
+    p.write_bytes(data[: len(data) // 2])  # truncate the payload
+    with pytest.raises(Exception):
+        load_npy_batch([str(p)], (32, 32))

@@ -51,18 +51,29 @@ def test_multistep_lr():
 
 
 def test_ema_warmup_then_lerp():
+    """Warmup decay follows ema_pytorch's closed form in RAW optimizer steps:
+    epoch = max(step - update_after_step - 1, 0),
+    decay = clip(1 - (1 + epoch/inv_gamma)^-power, 0, beta)."""
     tx = make_optimizer(lambda _: 0.1)
     params = {"w": jnp.ones((4,))}
     cfg = EMAConfig(beta=0.9, update_every=1, update_after_step=0)
     state = TrainState.create(params, tx, cfg)
     grads = {"w": jnp.ones((4,))}
-    s1 = state.apply_gradients(grads)  # k=1: decay=1-2^-.75~0.405
-    assert not np.allclose(np.asarray(s1.ema_params["w"]),
-                           np.asarray(s1.params["w"]))
-    # ema should be between old ema (1.0) and new params
-    w_new = float(s1.params["w"][0])
-    w_ema = float(s1.ema_params["w"][0])
-    assert min(w_new, 1.0) <= w_ema <= max(w_new, 1.0)
+    s1 = state.apply_gradients(grads)
+    # step 1: epoch 0 -> decay 0 -> EMA copies the online weights
+    np.testing.assert_allclose(np.asarray(s1.ema_params["w"]),
+                               np.asarray(s1.params["w"]))
+    s2 = s1.apply_gradients(grads)
+    # step 2: epoch 1 -> decay = 1 - 2^-0.75 ~ 0.4054
+    d = 1.0 - 2.0 ** -0.75
+    expect = d * np.asarray(s1.ema_params["w"]) + (1 - d) * np.asarray(
+        s2.params["w"])
+    np.testing.assert_allclose(np.asarray(s2.ema_params["w"]), expect,
+                               rtol=1e-6)
+    # step 1000 at raw-step counting: decay ~0.994 (vs ~0.966 if the epoch
+    # were wrongly counted in units of update_every)
+    e999 = 1.0 - (1.0 + 999.0) ** -0.75
+    assert e999 > 0.99
 
 
 def _tiny_setup(tmp_path, n=32, batch=8):
@@ -139,3 +150,64 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(jax.device_get(trainer2.state.step)) == 6
     ema = Trainer.load_params(str(tmp_path / "run"), 1, use_ema=True)
     assert ema is not None
+
+
+def test_kill_and_resume_continues(tmp_path):
+    """A restarted trainer with resume() picks up step/params/EMA/opt from
+    the newest milestone and keeps training to completion (VERDICT #7)."""
+    trainer = _tiny_setup(tmp_path)
+    trainer.cfg.save_and_sample_every = 3
+    trainer.cfg.train_num_steps = 3
+    trainer.train(progress=False)  # saves milestone 1 at step 3 then "dies"
+    p_at_kill = jax.device_get(trainer.state.params)
+
+    trainer2 = _tiny_setup(tmp_path)
+    trainer2.cfg.train_num_steps = 6
+    assert trainer2.resume() is True
+    assert int(jax.device_get(trainer2.state.step)) == 3
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        p_at_kill, jax.device_get(trainer2.state.params))
+    state = trainer2.train(progress=False)
+    assert int(jax.device_get(state.step)) == 6
+    # loss stays finite across the restart boundary
+    import json as _json
+
+    log = (tmp_path / "run" / "train_log.jsonl").read_text().strip().splitlines()
+    assert all(np.isfinite(_json.loads(l)["loss"]) for l in log)
+
+
+def test_resume_without_checkpoint_is_fresh(tmp_path):
+    trainer = _tiny_setup(tmp_path)
+    assert trainer.resume() is False
+    assert int(jax.device_get(trainer.state.step)) == 0
+
+
+def test_surrogate_resume(tmp_path):
+    from diffphycon_tpu.training.surrogates import (
+        SurrogateTrainConfig,
+        train_surrogate,
+    )
+    import flax.linen as nn
+
+    class Lin(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(1)(x)
+
+    net = Lin()
+    x = np.random.default_rng(0).normal(size=(64, 4)).astype(np.float32)
+    y = (x.sum(-1, keepdims=True)).astype(np.float32)
+    params = net.init(jax.random.PRNGKey(0), x[:1])
+    cfg = SurrogateTrainConfig(
+        num_steps=4, batch_size=8, save_every=4, log_every=2,
+        results_folder=str(tmp_path / "sur"), lr_milestones=(100,))
+    state, _ = train_surrogate(net.apply, params, (x,), y, cfg)
+    # resume run continues to 8
+    cfg2 = SurrogateTrainConfig(
+        num_steps=8, batch_size=8, save_every=4, log_every=2,
+        results_folder=str(tmp_path / "sur"), lr_milestones=(100,))
+    state2, last = train_surrogate(net.apply, params, (x,), y, cfg2,
+                                   resume=True)
+    assert int(jax.device_get(state2.step)) == 8
+    assert last is None or np.isfinite(last)

@@ -54,8 +54,75 @@ def build_parser():
     p.add_argument("--dim", default=64, type=int)
     p.add_argument("--dim_mults", nargs="+", default=[1, 2, 4], type=int)
     p.add_argument("--bf16", default=False, type=eval)
+    p.add_argument("--inference_method", default="DDPM",
+                   choices=["DDPM", "MPC", "MPC_LBFGS"],
+                   help="MPC = receding-horizon replanning through the "
+                        "surrogate pipeline (reference "
+                        "inference_2d_jellyfish.py:488-806)")
+    p.add_argument("--num_iters", default=30, type=int,
+                   help="MPC replanning iterations per step")
+    p.add_argument("--coef_grad", default=0.05, type=float,
+                   help="MPC step size")
+    p.add_argument("--lamda", default=1000.0, type=float,
+                   help="MPC theta-smoothness weight")
+    p.add_argument("--coef_endcondition", default=0.0, type=float)
+    p.add_argument("--coef_clip", default=0.0, type=float)
     p.add_argument("--seed", default=0, type=int)
     return p
+
+
+def run_mpc(args, cfg):
+    """Receding-horizon MPC evaluation (no diffusion checkpoints needed)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffphycon_tpu.baselines.mpc_jellyfish import mpc_receding_horizon
+    from diffphycon_tpu.benchmarks import jellyfish as bench
+    from diffphycon_tpu.training.data import load_jellyfish_dataset
+    from diffphycon_tpu.training.surrogates import load_surrogate
+
+    net_sim = bench.build_simulator_unet(cfg)
+    net_bd = bench.build_bd_updater(cfg)
+    net_force = bench.build_force_unet(cfg)
+    ppl = bench.SurrogatePipeline(
+        cfg, net_sim.apply, load_surrogate(args.surrogate_folder, "simulator"),
+        net_force.apply, load_surrogate(args.surrogate_folder, "force"),
+        net_bd.apply, load_surrogate(args.surrogate_folder,
+                                     "boundary_updater"))
+    data = load_jellyfish_dataset(args.dataset_path, "test",
+                                  n=args.n_test_samples,
+                                  only_vis_pressure=args.only_vis_pressure)
+    n = data["states"].shape[0]
+    bs = min(args.batch_size, n)
+    rows = []
+    t0 = time.time()
+    for i in range(0, n, bs):
+        thetas, states, forces = mpc_receding_horizon(
+            ppl,
+            jnp.asarray(data["states"][i : i + bs, 0]),
+            jnp.asarray(data["bd"][i : i + bs, 0]),
+            jnp.asarray(data["thetas"][i : i + bs, 0]),
+            frames=cfg.frames, num_iters=args.num_iters, lr=args.coef_grad,
+            lamda=args.lamda, coef_endcondition=args.coef_endcondition,
+            coef_clip=args.coef_clip,
+            optimizer="lbfgs" if args.inference_method == "MPC_LBFGS"
+            else "adam", seed=args.seed + i)
+        f = np.asarray(forces)
+        d = np.diff(np.asarray(thetas), axis=1)
+        rows.append(f.mean(1) - args.reg_ratio * (d ** 2).sum(1))
+        print(f"batch {i // bs}: J={rows[-1].mean():.4f}", flush=True)
+    agg = {
+        "method": args.inference_method,
+        "objective": float(np.concatenate(rows).mean()),
+        "walltime_s": round(time.time() - t0, 2),
+        "n": n,
+    }
+    os.makedirs(args.inference_result_path, exist_ok=True)
+    with open(os.path.join(args.inference_result_path, "results.json"),
+              "a") as fh:
+        fh.write(json.dumps({"args": vars(args), "metrics": agg}) + "\n")
+    print("MPC objective =", agg["objective"], "walltime:", agg["walltime_s"])
+    return agg
 
 
 def main(args):
@@ -79,6 +146,9 @@ def main(args):
         use_guidance_in_model_predictions=args.use_guidance_in_model_predictions,
         reg_ratio=args.reg_ratio, bf16=args.bf16,
     )
+
+    if args.inference_method in ("MPC", "MPC_LBFGS"):
+        return run_mpc(args, cfg)
 
     net_joint = bench.build_joint_unet(cfg)
     net_thetas = bench.build_thetas_unet(cfg)

@@ -27,6 +27,12 @@ REFERENCE_STEPS_PER_SEC_ESTIMATE = 30.0
 
 def main(impl: str = "auto"):
     import jax
+
+    # unsafe_rbg: XLA RngBitGenerator for in-scan noise draws. threefry
+    # lowers each hash to a 5-iteration while loop (~0.8 ms per instance per
+    # step on this runtime); rbg is one streamed op. Sampling statistics are
+    # unchanged (counter-based generator), only the stream differs.
+    jax.config.update("jax_default_prng_impl", "unsafe_rbg")
     import jax.numpy as jnp
     import numpy as np
 

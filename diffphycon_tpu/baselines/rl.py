@@ -74,11 +74,61 @@ class GaussPolicyMLP(nn.Module):
 
 
 def gauss_log_prob(mu, std, action):
-    """Diagonal normal log prob summed over action dims
-    (reference utils.log_prob_func)."""
+    """Diagonal normal log prob summed over all action dims (flat vectors or
+    control fields) (reference utils.log_prob_func)."""
     lp = (-0.5 * ((action - mu) / std) ** 2 - jnp.log(std)
           - 0.5 * jnp.log(2 * jnp.pi))
-    return lp.sum(-1, keepdims=True)
+    return lp.reshape(lp.shape[0], -1).sum(-1, keepdims=True)
+
+
+class _ConvEncoder(nn.Module):
+    """Strided-conv encoder for (B, H, W, C) field observations
+    (reference sac_smoke/scripts_SAC/net_2d.py conv stacks)."""
+
+    features: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        f = self.features
+        for mult in (1, 2, 4):  # 64 -> 8
+            x = nn.relu(nn.Conv(f * mult, (3, 3), strides=(2, 2))(x))
+        return x
+
+
+class ConvGaussPolicy(nn.Module):
+    """CNN Gaussian policy emitting a per-pixel action FIELD (mu, std) at the
+    input resolution (smoke control (c1, c2); reference
+    sac_smoke/scripts_SAC/net_2d.GaussianPolicy)."""
+
+    action_channels: int = 2
+    features: int = 32
+
+    @nn.compact
+    def __call__(self, s):
+        h = _ConvEncoder(self.features)(s)
+        for mult in (2, 1, 1):  # 8 -> 64
+            h = nn.relu(nn.ConvTranspose(self.features * mult, (3, 3),
+                                         strides=(2, 2))(h))
+        out = nn.Conv(2 * self.action_channels, (3, 3))(h)
+        out = jnp.tanh(out)
+        mu, log_std = jnp.split(out, 2, axis=-1)
+        log_std = soft_clamp(log_std, -5.0, 0.0)
+        return mu, jnp.exp(log_std)
+
+
+class ConvQ(nn.Module):
+    """Q over (field obs, field action): conv encoder + dense head."""
+
+    features: int = 32
+    hidden_dim: int = 256
+
+    @nn.compact
+    def __call__(self, s, a):
+        x = jnp.concatenate([s, a], axis=-1)
+        h = _ConvEncoder(self.features)(x)
+        h = h.reshape(h.shape[0], -1)
+        h = nn.relu(nn.Dense(self.hidden_dim)(h))
+        return jnp.tanh(nn.Dense(1)(h))
 
 
 class ValueMLP(nn.Module):
@@ -158,12 +208,14 @@ class RingReplay:
     (``ret`` and ``next_action`` zero-filled) so ``SAC.update`` accepts
     either buffer."""
 
-    def __init__(self, capacity: int, state_dim: int, action_dim: int):
+    def __init__(self, capacity: int, state_dim, action_dim):
+        """state_dim / action_dim: flat sizes (int) or field shapes (tuple)."""
+        as_shape = lambda d: (d,) if isinstance(d, int) else tuple(d)
         self.capacity = capacity
-        self.state = np.zeros((capacity, state_dim), np.float32)
-        self.action = np.zeros((capacity, action_dim), np.float32)
+        self.state = np.zeros((capacity, *as_shape(state_dim)), np.float32)
+        self.action = np.zeros((capacity, *as_shape(action_dim)), np.float32)
         self.reward = np.zeros((capacity,), np.float32)
-        self.next_state = np.zeros((capacity, state_dim), np.float32)
+        self.next_state = np.zeros_like(self.state)
         self.mask = np.zeros((capacity,), np.float32)
         self.pos = 0
         self.size = 0
@@ -186,7 +238,7 @@ class RingReplay:
         return (jnp.asarray(self.state[idx]), jnp.asarray(self.action[idx]),
                 jnp.asarray(self.reward[idx]), z,
                 jnp.asarray(self.next_state[idx]),
-                jnp.zeros((batch_size, self.action.shape[1])),
+                jnp.zeros_like(jnp.asarray(self.action[idx])),
                 jnp.asarray(self.mask[idx]))
 
 
@@ -199,10 +251,15 @@ class BehaviorCloning:
     """(reference bppo.py:10-73)."""
 
     def __init__(self, state_dim, action_dim, hidden_dim=512, depth=2,
-                 lr=1e-4, batch_size=512, seed=0):
-        self.policy = GaussPolicyMLP(hidden_dim, depth, action_dim)
-        self.params = self.policy.init(
-            jax.random.PRNGKey(seed), jnp.zeros((1, state_dim)))
+                 lr=1e-4, batch_size=512, seed=0, policy=None,
+                 obs_example=None):
+        """policy/obs_example: optional custom flax module (e.g.
+        ConvGaussPolicy for field observations) + an example input to init."""
+        self.policy = (policy if policy is not None
+                       else GaussPolicyMLP(hidden_dim, depth, action_dim))
+        s0 = (jnp.asarray(obs_example) if obs_example is not None
+              else jnp.zeros((1, state_dim)))
+        self.params = self.policy.init(jax.random.PRNGKey(seed), s0)
         self.tx = optax.adam(lr)
         self.opt_state = self.tx.init(self.params)
         self.batch_size = batch_size
@@ -385,21 +442,29 @@ class BPPO:
 class SAC:
     def __init__(self, state_dim, action_dim, hidden_dim=512, depth=2,
                  lr=3e-4, gamma=0.99, tau=5e-3, batch_size=256, seed=0,
-                 target_entropy=None):
-        self.policy = GaussPolicyMLP(hidden_dim, depth, action_dim)
-        self.q1 = QMLP(hidden_dim, depth)
-        self.q2 = QMLP(hidden_dim, depth)
+                 target_entropy=None, policy=None, q_module=None,
+                 obs_example=None, act_example=None):
+        """policy/q_module + obs_example/act_example: optional custom flax
+        modules for field observations/actions (ConvGaussPolicy/ConvQ)."""
+        self.policy = (policy if policy is not None
+                       else GaussPolicyMLP(hidden_dim, depth, action_dim))
+        make_q = (q_module if q_module is not None
+                  else (lambda: QMLP(hidden_dim, depth)))
+        self.q1 = make_q()
+        self.q2 = make_q()
         k = jax.random.split(jax.random.PRNGKey(seed), 3)
-        s0 = jnp.zeros((1, state_dim))
-        a0 = jnp.zeros((1, action_dim))
+        s0 = (jnp.asarray(obs_example) if obs_example is not None
+              else jnp.zeros((1, state_dim)))
+        a0 = (jnp.asarray(act_example) if act_example is not None
+              else jnp.zeros((1, action_dim)))
         self.pi_params = self.policy.init(k[0], s0)
         self.q1_params = self.q1.init(k[1], s0, a0)
         self.q2_params = self.q2.init(k[2], s0, a0)
         self.q1_target = jax.tree.map(jnp.copy, self.q1_params)
         self.q2_target = jax.tree.map(jnp.copy, self.q2_params)
         self.log_alpha = jnp.zeros(())
-        self.target_entropy = (-float(action_dim) if target_entropy is None
-                               else target_entropy)
+        self.target_entropy = (-float(np.prod(a0.shape[1:]))
+                               if target_entropy is None else target_entropy)
         self.tx_pi = optax.adam(lr)
         self.tx_q = optax.adam(lr)
         self.tx_a = optax.adam(lr)
@@ -418,8 +483,9 @@ class SAC:
         eps = jax.random.normal(key, mu.shape)
         pre = mu + std * eps
         a = jnp.tanh(pre)
-        logp = gauss_log_prob(mu, std, pre) - jnp.log(
-            1 - a**2 + 1e-6).sum(-1, keepdims=True)
+        corr = jnp.log(1 - a**2 + 1e-6)
+        logp = gauss_log_prob(mu, std, pre) - corr.reshape(
+            corr.shape[0], -1).sum(-1, keepdims=True)
         return a, logp
 
     def _build(self):

@@ -50,17 +50,20 @@ def ddpm_guidance_loss(
     u_target: (B, Nt, Nx) ground-truth trajectory (rescaled like u).
     u: (B, Nt, Nx) diffused states; f: (B, Nt-1, Nx) diffused control.
     """
-    u0_gt, uf_gt = u_target[:, 0, :], u_target[:, -1, :]
-    u0, uf = u[:, 0, :], u[:, -1, :]
-
-    loss_u = (u0 - u0_gt) ** 2 + (uf - uf_gt) ** 2
+    # endpoint deviations via a time mask instead of slicing: the backward of
+    # u[:, 0] / u[:, -1] is a dynamic-update-slice scatter, which costs
+    # ~50 us/op inside the scanned sampler on this runtime (PERF.md r2); the
+    # masked form differentiates to pure elementwise ops.
+    nt, nx = u.shape[1], u.shape[2]
+    tmask = jnp.zeros((nt,), u.dtype).at[0].set(1.0).at[nt - 1].set(1.0)
+    diff2 = (u - u_target) ** 2 * tmask[None, :, None]
     if partially_observed == "front_rear_quarter":
-        nx = u.shape[-1]
-        mask = jnp.ones((nx,), loss_u.dtype).at[nx // 4 : (3 * nx) // 4].set(0.0)
-        loss_u = loss_u * mask
+        mask = jnp.ones((nx,), u.dtype).at[nx // 4 : (3 * nx) // 4].set(0.0)
+        diff2 = diff2 * mask
     elif partially_observed is not None:
         raise ValueError(f"unknown partially observed mode {partially_observed!r}")
-    loss_u = loss_u.mean()
+    # mean over the same (B, Nx)-sized endpoint set as the reference
+    loss_u = diff2.sum() / (u.shape[0] * nx)
 
     loss_f = (f**2).sum(axis=(-1, -2)).mean()
     return loss_u * wu + loss_f * wf + dist_reg(u) * wreg

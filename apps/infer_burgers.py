@@ -89,7 +89,9 @@ def get_target(args):
     if args.synthetic_data > 0:
         from diffphycon_tpu.training.data import synthetic_burgers
 
-        u, _ = synthetic_burgers(args.synthetic_data, seed=12345)
+        u, _ = synthetic_burgers(args.synthetic_data, seed=12345,
+                                 cache_dir=os.path.join(args.data_root,
+                                                        "synthetic"))
         return u[: args.n_test_samples]
     from diffphycon_tpu.training.data import load_burgers_h5
 

@@ -98,7 +98,8 @@ def main(args):
     )
 
     if args.synthetic_data > 0:
-        u, f = synthetic_burgers(args.synthetic_data, seed=args.seed)
+        u, f = synthetic_burgers(args.synthetic_data, seed=args.seed,
+                                  cache_dir=os.path.join(args.data_root, "synthetic"))
     else:
         path = os.path.join(args.data_root, args.dataset, "burgers_train.h5")
         u, f = load_burgers_h5(path, "train")

@@ -12,10 +12,13 @@ Prints ONE JSON line:
    "unit": "steps/s", "vs_baseline": R}
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); R is computed
-against a nominal 30 steps/s for the reference PyTorch loop on a single A100
-(2 x 35M-param UNet2D forwards + autograd guidance at batch 50, ~35 ms/step
-estimated from standard GPU U-Net throughput), the comparison axis named in
-BASELINE.json ("denoise steps/sec/chip").
+against a nominal 30 steps/s ESTIMATE for the reference PyTorch loop on a
+single A100 (2 x 35M-param UNet2D forwards + autograd guidance at batch 50,
+~35 ms/step estimated from standard GPU U-Net throughput), the comparison
+axis named in BASELINE.json ("denoise steps/sec/chip"). Sanity floor
+measured on this host (PERF.md r2): the reference's torch eager loop runs at
+0.02 steps/s on CPU; no GPU exists here, so the A100 figure remains an
+estimate and is labeled as such wherever quoted.
 """
 
 import argparse

@@ -54,15 +54,36 @@ def load_burgers_h5(path: str | Path, split: str = "train",
 
 
 def synthetic_burgers(n: int, seed: int = 0, partial_control=None,
-                      dt: float = 1e-4):
+                      dt: float = 1e-4, chunk: int = 4096,
+                      cache_dir=None):
     """Generate (u, f) pairs with the JAX solver — same distribution as the
-    reference data generator (generate_burgers.py:338-418 + solver)."""
+    reference data generator (generate_burgers.py:338-418 + solver).
+
+    Large n runs in device-sized chunks; cache_dir (e.g. 'data/synthetic')
+    memoizes the result on disk so repeated training runs skip the
+    10^4-step solves."""
+    import os
+
     from diffphycon_tpu.physics.burgers import burgers_solve, make_burgers_data
 
+    tag = f"burgers_n{n}_s{seed}_pc{partial_control or 'full'}_dt{dt}"
+    if cache_dir:
+        path = os.path.join(cache_dir, tag + ".npz")
+        if os.path.isfile(path):
+            z = np.load(path)
+            return z["u"], z["f"]
     u0, f = make_burgers_data(n, s=128, t=10, seed=seed,
                               partial_control=partial_control)
-    u = np.asarray(burgers_solve(u0, f, visc=0.01, T=1.0, dt=dt, num_t=10))
-    return u.astype(np.float32), f
+    parts = []
+    for i in range(0, n, chunk):
+        parts.append(np.asarray(burgers_solve(
+            u0[i : i + chunk], f[i : i + chunk], visc=0.01, T=1.0, dt=dt,
+            num_t=10)))
+    u = np.concatenate(parts, axis=0).astype(np.float32)
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        np.savez_compressed(path, u=u, f=f)
+    return u, f
 
 
 @dataclasses.dataclass

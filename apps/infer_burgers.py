@@ -78,7 +78,7 @@ def build_parser():
     p.add_argument("--normalize_beta", default=False, type=eval)
     p.add_argument("--bf16", default=False, type=eval)
     p.add_argument("--impl", default="xla", choices=["xla", "pallas"],
-                   help="pallas = fused-kernel UNet forward (TPU inference)")
+                   help="pallas = per-block fused kernels: a MEASURED DEAD END on this runtime (2.6x slower than xla, PERF.md r2); kept for lowering regression coverage")
     return p
 
 
@@ -139,8 +139,11 @@ def main(args):
             unet2d_pallas_apply,
         )
 
-        params = pack_unet2d_params(params, args.dim, tuple(args.dim_muls),
-                                    args.resnet_block_groups)
+        import jax.numpy as jnp
+
+        params = pack_unet2d_params(
+            params, args.dim, tuple(args.dim_muls), args.resnet_block_groups,
+            weight_dtype=jnp.bfloat16 if args.bf16 else None)
         apply_fn = lambda p, x, t: unet2d_pallas_apply(p, x, t)
     if args.eval_two_models:
         params_w = Trainer.load_params(
@@ -157,9 +160,12 @@ def main(args):
         net_w = bench.build_unet(cfg_w)
         apply_w_fn = net_w.apply
         if args.impl == "pallas":
+            import jax.numpy as jnp
+
             params_w = pack_unet2d_params(
                 params_w, cfg_w.dim, tuple(cfg_w.dim_muls),
-                args.resnet_block_groups)
+                args.resnet_block_groups,
+                weight_dtype=jnp.bfloat16 if args.bf16 else None)
             apply_w_fn = apply_fn
         gd = bench.build_diffusion(cfg, apply_fn, model_w_apply=apply_w_fn)
         all_params = (params, params_w)

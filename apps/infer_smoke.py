@@ -108,23 +108,33 @@ def main(args):
     )
 
     metrics = []
+    sample_s = 0.0
     t0 = time.time()
     for i in range(0, n, bs):
         d = jnp.asarray(data[i : i + bs])
         init = d[:, 0, :, :, 0] / r[0]
+        ts = time.time()
         x = sampler((params_joint, params_w), jax.random.PRNGKey(args.seed + i),
                     init)
+        jax.block_until_ready(x)
+        _ = float(np.asarray(x).ravel()[0])  # force completion (PERF.md r2)
+        sample_s += time.time() - ts
         m = evaluate(x, d)
         metrics.append({k: np.asarray(v) for k, v in m.items()})
         print(f"batch {i // bs}: J_target={float(m['J_target'].mean()):.4f} "
               f"mse={float(m['mse'].mean()):.4f}", flush=True)
     walltime = time.time() - t0
+    n_loops = max(1, (n + bs - 1) // bs)
+    steps_per_s = (args.ddim_sampling_steps * n_loops) / max(sample_s, 1e-9)
+    print(f"two-model DDIM loop: {steps_per_s:.2f} denoise steps/s "
+          f"(batch {bs}, incl. first-batch compile)", flush=True)
 
     agg = {
         k: float(np.concatenate([m[k] for m in metrics]).mean())
         for k in metrics[0]
     }
     agg["walltime_s"] = round(walltime, 2)
+    agg["sampling_steps_per_s"] = round(steps_per_s, 2)
     agg["n"] = n
     os.makedirs(args.inference_result_path, exist_ok=True)
     out_file = os.path.join(args.inference_result_path, "results.json")

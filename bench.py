@@ -50,17 +50,24 @@ def main(impl: str = "auto"):
     params_w = bench.init_params(cfg, seed=1)
 
     if impl == "auto":
-        impl = "xla"  # flip to pallas once TPU lowering is validated
+        # XLA is the measured-best path on this runtime. The Pallas options
+        # are retained for reference as MEASURED DEAD ENDS (PERF.md r2):
+        # per-block fusion = 29.7 ms/fwd in-scan (2.6x worse than XLA);
+        # the whole-net mega-kernel does not finish Mosaic compilation.
+        impl = "xla"
     if impl == "pallas":
         # fused Pallas forward (ops/pallas_unet2d.py): ~40 kernels per model
-        # eval instead of ~2,200 XLA ops — the op-count-bound sampler's fix
+        # eval — kept for kernel-lowering regression coverage, NOT for speed
         from diffphycon_tpu.ops.pallas_unet2d import (
             pack_unet2d_params,
             unet2d_pallas_apply,
         )
 
-        params = pack_unet2d_params(params, cfg.dim, tuple(cfg.dim_muls))
-        params_w = pack_unet2d_params(params_w, cfg.dim, tuple(cfg.dim_muls))
+        wd = jnp.bfloat16 if cfg.bf16 else None
+        params = pack_unet2d_params(params, cfg.dim, tuple(cfg.dim_muls),
+                                    weight_dtype=wd)
+        params_w = pack_unet2d_params(params_w, cfg.dim, tuple(cfg.dim_muls),
+                                      weight_dtype=wd)
         apply_fn = lambda p, x, t: unet2d_pallas_apply(p, x, t)
     else:
         apply_fn = net.apply

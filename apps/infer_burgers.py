@@ -178,13 +178,17 @@ def main(args):
     assert n % bs == 0
 
     # jit once with params/target as arguments so big param trees are not
-    # embedded as HLO constants; guidance weights are static per (wu, wf)
+    # embedded as HLO constants. The guidance WEIGHTS are traced arguments
+    # too: the axon runtime memoizes executions on (program structure,
+    # inputs) and ignores jit-baked constants, so two samplers differing
+    # only in a constant wu return identical cached results (PERF.md r2).
     def make_sampler(wu, wf):
-        def run(p, key, tgt):
+        def run(p, key, tgt, wu_t, wf_t):
             guidance = bench.build_guidance(
-                cfg, tgt, wu=wu, wf=wf, wreg=args.wreg,
+                cfg, tgt, wu=wu_t, wf=wf_t, wreg=args.wreg,
                 j_scheduler=args.J_scheduler, w_scheduler=args.w_scheduler,
                 proj_guidance=args.proj_guidance,
+                enabled=bool(wu) or bool(wf) or bool(args.wreg),
             )
             cond_vals = {
                 "u0": tgt[:, 0, :] / bench.RESCALER,
@@ -204,7 +208,8 @@ def main(args):
             for i in range(n // bs):
                 tgt = jax.numpy.asarray(u_target_all[i * bs : (i + 1) * bs])
                 key = jax.random.PRNGKey(i)
-                x = sampler(all_params, key, tgt)
+                x = sampler(all_params, key, tgt,
+                            jax.numpy.float32(wu), jax.numpy.float32(wf))
                 res = bench.evaluate_samples(x, tgt, cfg)
                 rows.append(res)
             walltime = time.time() - t_start

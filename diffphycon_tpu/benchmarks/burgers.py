@@ -176,7 +176,8 @@ def evaluate_samples(x, u_target, cfg: BurgersConfig) -> EvalResult:
 def build_guidance(cfg: BurgersConfig, u_target, wu=0.0, wf=0.0, wreg=0.0,
                    j_scheduler: Optional[str] = None,
                    w_scheduler: Optional[str] = None,
-                   proj_guidance: Optional[str] = None) -> GuidanceSpec:
+                   proj_guidance: Optional[str] = None,
+                   enabled: Optional[bool] = None) -> GuidanceSpec:
     """Guidance closure over the (rescaled) target
     (reference get_nablaJ_2dconv, inference_1d_burgers.py:129-168).
     proj_guidance: None = additive combiner; 'ep_orthogonal_F' /
@@ -194,8 +195,13 @@ def build_guidance(cfg: BurgersConfig, u_target, wu=0.0, wf=0.0, wreg=0.0,
 
         norm = proj_guidance.removeprefix("ep_orthogonal_")
         kwargs["proj"] = get_proj_ep_orthogonal(norm)
+    if enabled is None:
+        # wu/wf may be tracers (passed as jit arguments to defeat the axon
+        # runtime's constant-blind execution memoization); callers then say
+        # explicitly whether guidance is active via ``enabled``
+        enabled = bool(wu) or bool(wf) or bool(wreg)
     return GuidanceSpec(
-        nabla_j=make_nabla_j(loss_fn) if (wu or wf or wreg) else None,
+        nabla_j=make_nabla_j(loss_fn) if enabled else None,
         j_schedule=(make_guidance_schedule(j_scheduler, cfg.timesteps)
                     if j_scheduler else None),
         w_schedule=(make_guidance_schedule(w_scheduler, cfg.timesteps)

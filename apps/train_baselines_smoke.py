@@ -117,10 +117,10 @@ def main(args):
         trans, _ = run_episode(
             env, lambda o: behavior_action(env, rng, 0), 1, rng,
             args.partially_observed)
-        states.append(np.stack([np.asarray(t[0][0]) for t in trans]
-                               + [np.asarray(t[0][0])]))  # T+1 (last repeated)
-        actions.append(np.stack([np.asarray(t[1][0]) for t in trans]))
-        rewards.append(np.stack([float(t[2][0]) for t in trans]))
+        states.append(np.stack([np.asarray(tr[0][0]) for tr in trans]
+                               + [np.asarray(trans[-1][0][0])]))  # T+1
+        actions.append(np.stack([np.asarray(tr[1][0]) for tr in trans]))
+        rewards.append(np.stack([float(tr[2][0]) for tr in trans]))
     states = np.stack(states)
     actions = np.stack(actions)
     rewards = np.stack(rewards).astype(np.float32)

@@ -33,6 +33,9 @@ def build_parser():
     p.add_argument("--image_size", default=64, type=int)
     p.add_argument("--beta_schedule", default="linear", type=str)
     p.add_argument("--bf16", default=False, type=eval)
+    p.add_argument("--remat_all", default=True, type=eval,
+                   help="rematerialize all UNet3D blocks in the train step "
+                        "(v5e-1 HBM cannot hold batch-8 activations)")
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--resume", default=False, type=eval,
                    help="auto-restore the latest checkpoint in results_folder")
@@ -50,6 +53,7 @@ def main(args):
         dim=args.dim, dim_mults=tuple(args.dim_mults), frames=args.frames,
         image_size=args.image_size, is_w_model=args.is_w_model,
         beta_schedule=args.beta_schedule, bf16=args.bf16,
+        remat_all=args.remat_all,
     )
     data = load_smoke_dataset(args.dataset_path, "train", n=args.n_sims,
                               frames=args.frames)

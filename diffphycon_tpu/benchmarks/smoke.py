@@ -46,6 +46,7 @@ class SmokeConfig:
     design_guidance: str = "standard"  # 'standard' | 'standard-alpha'
     w_energy: float = 0.0
     bf16: bool = False
+    remat_all: bool = False  # full remat for training on small-HBM chips
 
 
 def channels(cfg: SmokeConfig) -> int:
@@ -59,6 +60,7 @@ def build_unet(cfg: SmokeConfig) -> UNet3D:
         channels=channels(cfg),
         out_dim=channels(cfg),
         resnet_groups=8,
+        remat_all=cfg.remat_all,
         dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,
     )
 

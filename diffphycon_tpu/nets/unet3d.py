@@ -312,6 +312,9 @@ class UNet3D(nn.Module):
     resnet_groups: int = 8
     remat: bool = True  # rematerialize blocks: the (B, H*W, h, F, F)
     # temporal-attention intermediates otherwise blow past HBM in training
+    remat_all: bool = False  # also remat the conv/resnet blocks: needed for
+    # full-resolution training batches on small-HBM chips (trades FLOPs for
+    # the (B, F, 64, 64, C) activation stash; slower compile)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -331,7 +334,13 @@ class UNet3D(nn.Module):
             TemporalAttention_ = TemporalAttention
             SpatialLinearAttention3D_ = SpatialLinearAttention3D
             SpatialFullAttention_ = SpatialFullAttention
-        ResnetBlock3D_ = ResnetBlock3D
+        if self.remat_all:
+            TemporalAttention_ = nn.remat(TemporalAttention)
+            SpatialLinearAttention3D_ = nn.remat(SpatialLinearAttention3D)
+            SpatialFullAttention_ = nn.remat(SpatialFullAttention)
+            ResnetBlock3D_ = nn.remat(ResnetBlock3D)
+        else:
+            ResnetBlock3D_ = ResnetBlock3D
 
         buckets = t5_relative_position_buckets(f, 32, 32)
         bias_table = self.param(

@@ -10,10 +10,12 @@ BS=${BS:-8}
 MS=$((STEPS / CKPT))
 
 python apps/train_smoke.py --dataset_path data/smoke --train_num_steps $STEPS \
-  --checkpoint_interval $CKPT --batch_size $BS --is_w_model False --resume True
+  --checkpoint_interval $CKPT --batch_size $BS --is_w_model False \
+  --remat_all True --resume True
 
 python apps/train_smoke.py --dataset_path data/smoke --train_num_steps $STEPS \
-  --checkpoint_interval $CKPT --batch_size $BS --is_w_model True --resume True
+  --checkpoint_interval $CKPT --batch_size $BS --is_w_model True \
+  --remat_all True --resume True
 
 python apps/infer_smoke.py --dataset_path data/smoke \
   --joint_folder trained_models/smoke --w_folder trained_models/smoke_w \

@@ -41,6 +41,9 @@ def build_parser():
                    help="None: n_state+1 (inference-compatible); the "
                         "reference train entry used n_state (see SURVEY)")
     p.add_argument("--bf16", default=False, type=eval)
+    p.add_argument("--remat_all", default=True, type=eval,
+                   help="rematerialize all UNet3D blocks (EBM grad-of-grad "
+                        "training otherwise exceeds v5e-1 HBM)")
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--resume", default=False, type=eval,
                    help="auto-restore the latest checkpoint in results_folder")
@@ -68,7 +71,7 @@ def main(args):
     cfg = bench.JellyfishConfig(
         dim=args.dim, dim_mults=tuple(args.dim_mults), frames=args.frames,
         cond_steps=args.cond_steps, only_vis_pressure=args.only_vis_pressure,
-        bf16=args.bf16,
+        bf16=args.bf16, remat_all=args.remat_all,
     )
     data = load_jellyfish_dataset(args.dataset_path, "train", n=args.n_sims,
                                   only_vis_pressure=args.only_vis_pressure)

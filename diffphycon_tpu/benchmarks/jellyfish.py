@@ -48,6 +48,7 @@ class JellyfishConfig:
     use_guidance_in_model_predictions: bool = False
     reg_ratio: float = 0.0
     bf16: bool = False
+    remat_all: bool = False  # full UNet3D remat (EBM double-backprop HBM)
 
     @property
     def n_state(self) -> int:
@@ -66,6 +67,7 @@ def build_joint_unet(cfg: JellyfishConfig) -> UNet3D:
     """(reference inference_2d_jellyfish.py:124-134: 7ch -> 4ch)."""
     return UNet3D(dim=cfg.dim, dim_mults=tuple(cfg.dim_mults),
                   channels=cfg.joint_channels, out_dim=cfg.joint_out,
+                  remat_all=cfg.remat_all,
                   dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32)
 
 
@@ -73,6 +75,7 @@ def build_thetas_unet(cfg: JellyfishConfig) -> UNet3D:
     """(reference :180-186: 7ch -> 1ch)."""
     return UNet3D(dim=cfg.dim, dim_mults=tuple(cfg.dim_mults),
                   channels=cfg.joint_channels, out_dim=1,
+                  remat_all=cfg.remat_all,
                   dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32)
 
 

@@ -61,3 +61,28 @@ def test_parity_with_reference(reference_path, channels, out_dim):
     out = net.apply(params, jnp.asarray(x_cl), jnp.asarray(t))
     out_ref_layout = np.transpose(np.asarray(out), (0, 1, 4, 2, 3))
     np.testing.assert_allclose(out_ref_layout, ref, rtol=2e-3, atol=3e-4)
+
+
+def test_remat_all_matches_plain_forward():
+    """remat_all changes memory behavior only, not numerics."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffphycon_tpu.nets.unet3d import UNet3D
+
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(1, 4, 8, 8, 6)).astype(np.float32))
+    t = jnp.zeros((1,))
+    a = UNet3D(dim=8, dim_mults=(1, 2), channels=6, out_dim=6,
+               resnet_groups=2, remat_all=False)
+    b = UNet3D(dim=8, dim_mults=(1, 2), channels=6, out_dim=6,
+               resnet_groups=2, remat_all=True)
+    p = a.init(jax.random.PRNGKey(0), x, t)
+    ya = a.apply(p, x, t)
+    yb = b.apply(p, x, t)
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), atol=1e-6)
+    # grad path (the reason remat exists) stays finite
+    g = jax.grad(lambda p: b.apply(p, x, t).sum())(p)
+    assert all(np.isfinite(np.asarray(v)).all()
+               for v in jax.tree.leaves(g))

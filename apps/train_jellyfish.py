@@ -33,6 +33,9 @@ def build_parser():
     p.add_argument("--train_num_steps", default=700000, type=int)
     p.add_argument("--checkpoint_interval", default=10000, type=int)
     p.add_argument("--batch_size", default=16, type=int)
+    p.add_argument("--grad_accum", default=1, type=int,
+                   help="micro-batch accumulation (EBM grad-of-grad training "
+                        "needs tiny per-device batches on v5e-1)")
     p.add_argument("--lr", default=1e-4, type=float)
     p.add_argument("--results_folder", default=None, type=str)
     p.add_argument("--dim", default=64, type=int)
@@ -111,6 +114,7 @@ def main(args):
     tcfg = TrainerConfig(
         train_batch_size=args.batch_size, train_lr=args.lr,
         train_num_steps=args.train_num_steps,
+        gradient_accumulate_every=args.grad_accum,
         save_and_sample_every=args.checkpoint_interval,
         results_folder=results_folder, lr_schedule="multistep",
         seed=args.seed,

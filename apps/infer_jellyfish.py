@@ -188,14 +188,19 @@ def main(args):
         pressure = pred_states[..., cfg.n_state - 1]
         pressure = (0.5 * pressure + 0.5) * (
             norm["p_max"] - norm["p_min"]) + norm["p_min"]
-        bd_0_expand = jnp.broadcast_to(
-            b0[:, None], (b, f) + b0.shape[1:])
-        delta = pred_theta.reshape(b * f)
-        bd = bd_0_expand.reshape((b * f,) + b0.shape[1:])
-        pred_bd = net_bd.apply(params_bd, bd, delta)
-        inp = jnp.concatenate(
-            [pressure.reshape(b * f, 64, 64, 1), pred_bd], axis=-1)
-        force = net_force.apply(params_force, inp).reshape(b, f)
+        # evaluate frame by frame with lax.map: the flattened (B*F) pass
+        # through bd-updater + ForceUNet overruns v5e-1 HBM (r2 campaign)
+        def frame_force(args_t):
+            delta_t, press_t = args_t
+            bd_t = net_bd.apply(params_bd, b0, delta_t)
+            inp = jnp.concatenate([press_t[..., None], bd_t], axis=-1)
+            return net_force.apply(params_force, inp)[:, 0]
+
+        force = jax.lax.map(
+            frame_force,
+            (jnp.swapaxes(pred_theta, 0, 1),
+             jnp.swapaxes(pressure, 0, 1)))
+        force = jnp.swapaxes(force, 0, 1)  # (B, F)
         weight = jnp.arange(f, 0, -1, dtype=jnp.float32)[None]
         avg_v = (force * weight).mean(axis=1)
         return avg_v - args.reg_ratio * bench.reg_theta(pred_theta)

@@ -152,9 +152,16 @@ class Trainer:
         )
 
     def save(self, milestone: Optional[int] = None):
-        """Save {step, params, ema, opt} (reference Trainer.save, :935-949)."""
+        """Save {step, params, ema, opt} (reference Trainer.save, :935-949).
+
+        The checkpoint id is ALWAYS the raw optimizer step: orbax's
+        CheckpointManager tracks ids monotonically and silently skips saves
+        with a smaller id, so mixing small milestone indices with raw-step
+        final saves loses checkpoints (r2 campaign bug). ``milestone`` is
+        kept for call-site compatibility but ignored for the id."""
         import orbax.checkpoint as ocp
 
+        del milestone
         mgr = self._ckpt_mgr()
         step = int(jax.device_get(self.state.step))
         payload = {
@@ -163,8 +170,7 @@ class Trainer:
             "ema_params": jax.device_get(self.state.ema_params),
             "opt_state": jax.device_get(self.state.opt_state),
         }
-        mgr.save(milestone if milestone is not None else step,
-                 args=ocp.args.StandardSave(payload))
+        mgr.save(step, args=ocp.args.StandardSave(payload))
         mgr.wait_until_finished()
         mgr.close()
 
@@ -172,6 +178,9 @@ class Trainer:
         import orbax.checkpoint as ocp
 
         mgr = self._ckpt_mgr()
+        steps = sorted(mgr.all_steps())
+        if milestone not in steps and 1 <= milestone <= len(steps):
+            milestone = steps[milestone - 1]
         target = {
             "step": int(jax.device_get(self.state.step)),
             "params": jax.device_get(self.state.params),
@@ -226,11 +235,19 @@ class Trainer:
 
     @staticmethod
     def load_params(results_folder: str, milestone: int, use_ema: bool = True):
-        """Restore just the (EMA) params for inference."""
+        """Restore just the (EMA) params for inference.
+
+        ``milestone`` may be a raw step id or (legacy) a small milestone
+        index; an index that doesn't match a saved step resolves to the
+        index-th saved checkpoint in step order."""
         import orbax.checkpoint as ocp
 
         mgr = ocp.CheckpointManager((Path(results_folder) / "ckpt").resolve())
-        payload = mgr.restore(milestone)
+        steps = sorted(mgr.all_steps())
+        step = milestone
+        if step not in steps and 1 <= milestone <= len(steps):
+            step = steps[milestone - 1]
+        payload = mgr.restore(step)
         mgr.close()
         return payload["ema_params" if use_ema else "params"]
 

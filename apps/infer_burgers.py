@@ -134,7 +134,14 @@ def main(args):
     )
     apply_fn = net.apply
     if args.impl == "pallas":
-        from diffphycon_tpu.ops.pallas_unet2d import (
+        import warnings
+
+        warnings.warn(
+            "--impl pallas selects the research-only per-block Pallas "
+            "forward (diffphycon_tpu.research): measured 2.6x SLOWER than "
+            "the default XLA path on this runtime (PERF.md r2). Use it only "
+            "for kernel-lowering regression checks.", stacklevel=2)
+        from diffphycon_tpu.research.pallas_unet2d import (
             pack_unet2d_params,
             unet2d_pallas_apply,
         )

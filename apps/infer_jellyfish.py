@@ -68,6 +68,10 @@ def build_parser():
     p.add_argument("--coef_endcondition", default=0.0, type=float)
     p.add_argument("--coef_clip", default=0.0, type=float)
     p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--scan_chunks", default=1, type=int,
+                   help="split the denoise scan into N host-synced segments "
+                        "(bit-identical numerics; workaround for the axon "
+                        "runtime fault on very long on-chip scans, PERF.md)")
     return p
 
 
@@ -107,9 +111,11 @@ def run_mpc(args, cfg):
             coef_clip=args.coef_clip,
             optimizer="lbfgs" if args.inference_method == "MPC_LBFGS"
             else "adam", seed=args.seed + i)
+        from diffphycon_tpu.control.metrics import jellyfish_objective
+
         f = np.asarray(forces)
         d = np.diff(np.asarray(thetas), axis=1)
-        rows.append(f.mean(1) - args.reg_ratio * (d ** 2).sum(1))
+        rows.append(np.asarray(jellyfish_objective(f, d, args.reg_ratio)))
         print(f"batch {i // bs}: J={rows[-1].mean():.4f}", flush=True)
     agg = {
         "method": args.inference_method,
@@ -176,15 +182,33 @@ def main(args):
         cfg, net_force.apply, params_force, net_bd.apply, params_bd,
         norm["p_min"], norm["p_max"])
 
-    sample = jax.jit(
-        lambda p, key, s0, b0, th0: gd.sample(p, key, s0, b0, th0,
-                                              design_fn=design_fn)
-    )
+    if args.scan_chunks <= 1:
+        sample = jax.jit(
+            lambda p, key, s0, b0, th0: gd.sample(p, key, s0, b0, th0,
+                                                  design_fn=design_fn)
+        )
+    else:
+        chunk_fn = jax.jit(
+            lambda p, key, s0, b0, th0, x, ts: gd.sample_chunk(
+                p, key, s0, b0, th0, x, ts, design_fn=design_fn)
+        )
+
+        def sample(p, key, s0, b0, th0):
+            k0, _ = jax.random.split(key)
+            x = gd.sample_init(k0, s0, b0, th0)
+            ts = gd.sample_ts()
+            n = (ts[0] if isinstance(ts, tuple) else ts).shape[0]
+            chunk = -(-n // args.scan_chunks)
+            for i in range(0, n, chunk):
+                sl = (tuple(a[i : i + chunk] for a in ts)
+                      if isinstance(ts, tuple) else ts[i : i + chunk])
+                x = chunk_fn(p, key, s0, b0, th0, x, sl)
+                np.asarray(x)  # host sync between segments
+            return gd.sample_finalize(x)
 
     def objective(pred_states, pred_theta, b0):
         """Guidance objective value of the sampled plan (reference
         inference_2d_jellyfish.py:107-110)."""
-        b, f = pred_theta.shape
         pressure = pred_states[..., cfg.n_state - 1]
         pressure = (0.5 * pressure + 0.5) * (
             norm["p_max"] - norm["p_min"]) + norm["p_min"]
@@ -201,9 +225,10 @@ def main(args):
             (jnp.swapaxes(pred_theta, 0, 1),
              jnp.swapaxes(pressure, 0, 1)))
         force = jnp.swapaxes(force, 0, 1)  # (B, F)
-        weight = jnp.arange(f, 0, -1, dtype=jnp.float32)[None]
-        avg_v = (force * weight).mean(axis=1)
-        return avg_v - args.reg_ratio * bench.reg_theta(pred_theta)
+        from diffphycon_tpu.control.metrics import jellyfish_objective
+
+        dtheta = pred_theta[:, 1:] - pred_theta[:, :-1]
+        return jellyfish_objective(force, dtheta, args.reg_ratio)
 
     n = data["states"].shape[0]
     bs = min(args.batch_size, n)

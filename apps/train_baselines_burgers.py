@@ -120,6 +120,7 @@ def main(args):
     if args.method in ("bc", "bppo"):
         bc = BehaviorCloning(nx, nx, args.hidden_dim, args.depth, args.lr,
                              seed=args.seed)
+        loss = float("nan")  # stays NaN when --bc_steps 0
         for i in range(args.bc_steps):
             loss = bc.update(buf)
         results["bc_loss"] = loss

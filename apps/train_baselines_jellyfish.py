@@ -135,6 +135,7 @@ def main(args):
         bc = BehaviorCloning(obs_dim, 1, args.hidden_dim, args.depth,
                              args.lr, batch_size=args.batch_size,
                              seed=args.seed)
+        loss = float("nan")  # stays NaN when --bc_steps 0
         for _ in range(args.bc_steps):
             loss = bc.update(buf)
         results["bc_loss"] = loss

@@ -138,6 +138,7 @@ def main(args):
         bc = BehaviorCloning(flat_obs, flat_act, args.hidden_dim, args.depth,
                              args.lr, batch_size=args.batch_size,
                              seed=args.seed)
+        loss = float("nan")  # stays NaN when --bc_steps 0
         for _ in range(args.bc_steps):
             loss = bc.update(buf)
         results["bc_loss"] = loss

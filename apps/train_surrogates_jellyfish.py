@@ -61,14 +61,31 @@ def main(args):
 
     force_labels = None
     if args.model == "force":
+        forces_dir = os.path.join(args.dataset_path, "train_data", "forces")
         if args.force_labels:
             force_labels = np.load(args.force_labels)
+        elif os.path.isdir(forces_dir):
+            # real pressure-force labels written by
+            # apps/generate_jellyfish_forces.py in the reference layout
+            # (T, n_bd, 2); label = x-force summed over boundaries
+            # (reference data_surrogate_models_jellyfish.py:63-64)
+            sims = sorted(f for f in os.listdir(forces_dir)
+                          if f.startswith("sim_"))
+            if args.n_sims is not None:
+                sims = sims[: args.n_sims]
+            force_labels = np.stack([
+                np.load(os.path.join(forces_dir, f))[..., 0].sum(axis=1)
+                for f in sims])
+            print(f"using {len(sims)} sims of pressure-force labels "
+                  f"from {forces_dir}")
         else:
             th = data["thetas"]
             dth = np.concatenate([np.zeros_like(th[:, :1]),
                                   np.diff(th, axis=1)], 1)
             force_labels = (-np.sin(th) * np.abs(dth) * 100).astype(np.float32)
-            print("using synthetic pseudo-force labels")
+            print("WARNING: no forces/ dir found; falling back to synthetic "
+                  "pseudo-force labels (run apps/generate_jellyfish_forces.py"
+                  " for the reference recipe)")
 
     inputs, targets = make_surrogate_pairs(data, args.model, force_labels)
 

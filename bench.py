@@ -58,7 +58,7 @@ def main(impl: str = "auto"):
     if impl == "pallas":
         # fused Pallas forward (ops/pallas_unet2d.py): ~40 kernels per model
         # eval — kept for kernel-lowering regression coverage, NOT for speed
-        from diffphycon_tpu.ops.pallas_unet2d import (
+        from diffphycon_tpu.research.pallas_unet2d import (
             pack_unet2d_params,
             unet2d_pallas_apply,
         )

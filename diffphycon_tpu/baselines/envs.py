@@ -219,10 +219,13 @@ class JellyfishRLEnv:
 
     def metrics(self):
         """Weighted average thrust - reg * sum dtheta^2
-        (reference inference_2d_jellyfish.py:107-110)."""
+        (reference inference_2d_jellyfish.py:107-110), via the shared
+        control.metrics.jellyfish_objective convention."""
+        from diffphycon_tpu.control.metrics import jellyfish_objective
+
         f = np.stack(self._forces, 1)  # (B, T)
         d = np.stack(self._deltas, 1)
-        score = f.mean(1) - self.reg * (d ** 2).sum(1) / max(self._t, 1)
+        score = np.asarray(jellyfish_objective(f, d, self.reg))
         return {
             "avg_force": float(f.mean()),
             "theta_reg": float((d ** 2).sum(1).mean()),

@@ -110,7 +110,9 @@ class ConvGaussPolicy(nn.Module):
             h = nn.relu(nn.ConvTranspose(self.features * mult, (3, 3),
                                          strides=(2, 2))(h))
         out = nn.Conv(2 * self.action_channels, (3, 3))(h)
-        out = jnp.tanh(out)
+        # mu stays unbounded: SAC's tanh squash is the single bounding
+        # (a tanh here would make greedy eval return tanh(tanh(x)),
+        # systematically shrunk vs the stochastic training path)
         mu, log_std = jnp.split(out, 2, axis=-1)
         log_std = soft_clamp(log_std, -5.0, 0.0)
         return mu, jnp.exp(log_std)

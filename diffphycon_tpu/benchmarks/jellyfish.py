@@ -232,14 +232,19 @@ class JellyfishDiffusion:
         design_fn(x_start4, bd_0_expand) -> guidance gradient (B,F,H,W,4).
         Returns (pred_states, pred_theta): (B,F,H,W,n_state), (B,F).
         """
+        k0, key = jax.random.split(key)
+        x = self.sample_init(k0, state_0, bd_0, thetas_0)
+        body, ts = self._make_body(params, key, state_0, bd_0, thetas_0,
+                                   design_fn)
+        x, _ = jax.lax.scan(body, x, ts)
+        return self.sample_finalize(x)
+
+    def sample_init(self, k0, state_0, bd_0, thetas_0):
+        """Initial noisy trajectory with conditioned frames pinned."""
         cfg = self.cfg
-        c = self.consts
-        params_joint, params_thetas, params_bd = params
         b = state_0.shape[0]
         f, h = cfg.frames, cfg.image_size
         ns = cfg.n_state
-
-        k0, key = jax.random.split(key)
         ks, kb, kt = jax.random.split(k0, 3)
         noise_state = jax.random.normal(ks, (b, f, h, h, ns))
         noise_bd = jax.random.normal(kb, (b, f, h, h, 3))
@@ -247,8 +252,6 @@ class JellyfishDiffusion:
 
         thetas_0_expand = jnp.broadcast_to(
             thetas_0[:, None, None, None, None], (b, 1, h, h, 1))
-        bd_0_expand = jnp.broadcast_to(bd_0[:, None], (b, f, h, h, 3))
-        state_cond = jnp.broadcast_to(state_0[:, None], (b, f, h, h, ns))
 
         cs = cfg.cond_steps
         if cs > 0:
@@ -257,7 +260,29 @@ class JellyfishDiffusion:
             noise_th = _pin_frames(noise_th, thetas_0_expand, 0, cs)
             noise_th = _pin_frames(noise_th, thetas_0_expand, f - cs, f)
 
-        x = jnp.concatenate([noise_state, noise_bd, noise_th], axis=-1)
+        return jnp.concatenate([noise_state, noise_bd, noise_th], axis=-1)
+
+    def _make_body(self, params, key, state_0, bd_0, thetas_0,
+                   design_fn: Optional[Callable] = None):
+        """Build the denoise-scan body + the full timestep sequence.
+
+        Shared by sample() (one scan) and sample_chunk() (host-synced
+        segments — the axon-runtime workaround for very long on-chip scans,
+        PERF.md round 2). Chunking cannot change numerics: the per-step
+        randomness is fold_in(key, t), independent of scan position.
+        """
+        cfg = self.cfg
+        c = self.consts
+        params_joint, params_thetas, params_bd = params
+        b = state_0.shape[0]
+        f, h = cfg.frames, cfg.image_size
+        ns = cfg.n_state
+        cs = cfg.cond_steps
+
+        thetas_0_expand = jnp.broadcast_to(
+            thetas_0[:, None, None, None, None], (b, 1, h, h, 1))
+        bd_0_expand = jnp.broadcast_to(bd_0[:, None], (b, f, h, h, 3))
+        state_cond = jnp.broadcast_to(state_0[:, None], (b, f, h, h, ns))
 
         sfr = cfg.standard_fixed_ratio
         eta_J_sched = cfg.coeff_ratio_J * jnp.flip(c.betas, 0)
@@ -345,8 +370,7 @@ class JellyfishDiffusion:
                 x_new, ps, pt = postprocess(pred, t, k_rp)
                 return x_new, None
 
-            ts = jnp.arange(cfg.timesteps - 1, -1, -1)
-            x, _ = jax.lax.scan(body, x, ts)
+            return body, jnp.arange(cfg.timesteps - 1, -1, -1)
         else:
             times = np.linspace(-1, cfg.timesteps - 1,
                                 cfg.sampling_timesteps + 1).astype(int)
@@ -377,8 +401,35 @@ class JellyfishDiffusion:
                 x_new, ps, pt = postprocess(pred, t, k_rp)
                 return x_new, None
 
-            x, _ = jax.lax.scan(body, x, (t_curr, t_next))
+            return body, (t_curr, t_next)
 
+    def sample_chunk(self, params, key, state_0, bd_0, thetas_0, x, ts,
+                     design_fn: Optional[Callable] = None):
+        """Run |ts| denoise steps on carry ``x`` (a slice of sample_ts()).
+
+        Jit once and call per chunk with equal-length ts slices; host-sync
+        (np.asarray) between calls. Identical numerics to sample() for any
+        chunking — the workaround for the axon fault on very long scans.
+        """
+        _, key = jax.random.split(key)  # consume k0 exactly like sample()
+        body, _ = self._make_body(params, key, state_0, bd_0, thetas_0,
+                                  design_fn)
+        x, _ = jax.lax.scan(body, x, ts)
+        return x
+
+    def sample_ts(self):
+        """Full timestep scan inputs (DDPM: int array; DDIM: (t, t_next))."""
+        cfg = self.cfg
+        if cfg.sampling_timesteps >= cfg.timesteps:
+            return jnp.arange(cfg.timesteps - 1, -1, -1)
+        times = np.linspace(-1, cfg.timesteps - 1,
+                            cfg.sampling_timesteps + 1).astype(int)
+        times = list(reversed(times.tolist()))
+        return (jnp.asarray(times[:-1], jnp.int32),
+                jnp.asarray(times[1:], jnp.int32))
+
+    def sample_finalize(self, x):
+        ns = self.cfg.n_state
         pred_states = x[..., :ns]
         pred_theta = x[..., -1:].mean(axis=(2, 3))[..., 0]
         return pred_states, pred_theta

@@ -3,4 +3,5 @@ from diffphycon_tpu.control.guidance import (
     make_nabla_j,
     mse_dist_reg,
 )
-from diffphycon_tpu.control.metrics import burgers_metric, mse_deviation
+from diffphycon_tpu.control.metrics import (burgers_metric,
+    jellyfish_objective, mse_deviation)

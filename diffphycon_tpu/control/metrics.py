@@ -94,3 +94,20 @@ def burgers_metric(
     nmse = mse / ((u_tgt[:, -1, :] ** 2).mean() + ep)
     nmae = mae / (jnp.abs(u_tgt[:, -1, :]).mean() + ep)
     return (mse, mse_median, mae, mae_median, nmse, nmae), control_energy
+
+
+def jellyfish_objective(forces, dthetas, reg_ratio=0.0):
+    """Shared jellyfish control objective — the ONE convention used by the
+    RL envs, MPC scoring and the DDPM eval alike (reference
+    inference/inference_2d_jellyfish.py:105-110):
+
+        J = mean_t(force_t * weight_t) - reg_ratio * sum_t dtheta_t^2,
+        weight = arange(T, 0, -1)  (descending time weight).
+
+    forces: (B, T) per-frame thrust; dthetas: (B, T') per-step theta deltas.
+    """
+    forces = jnp.asarray(forces)
+    dthetas = jnp.asarray(dthetas)
+    t = forces.shape[1]
+    weight = jnp.arange(t, 0, -1, dtype=forces.dtype)[None]
+    return (forces * weight).mean(axis=1) - reg_ratio * (dthetas**2).sum(axis=1)

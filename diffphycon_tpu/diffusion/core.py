@@ -526,9 +526,23 @@ class GaussianDiffusion:
                       guidance: GuidanceSpec = GuidanceSpec()) -> Array:
         """Full DDPM ancestral sampling as a single lax.scan
         (reference p_sample_loop, diffusion_1d_burgers.py:525-584)."""
-        shape = (batch_size,) + self.sample_shape
         key, k0 = jax.random.split(key)
-        x = jax.random.normal(k0, shape, jnp.float32)
+        x = self.sample_init(k0, batch_size)
+        body = self._make_ddpm_body(params, key, cond_vals, guidance)
+        ts = jnp.arange(self.num_timesteps - 1, -1, -1)
+        x, _ = jax.lax.scan(body, x, ts, unroll=self.scan_unroll)
+        return self.unnormalize(x)
+
+    def sample_init(self, k0, batch_size: int) -> Array:
+        return jax.random.normal(
+            k0, (batch_size,) + self.sample_shape, jnp.float32)
+
+    def _make_ddpm_body(self, params, key, cond_vals: dict,
+                        guidance: GuidanceSpec):
+        """DDPM scan body, shared by p_sample_loop (one scan) and
+        sample_chunk (host-synced segments — the axon long-scan workaround).
+        Chunking cannot change numerics: per-step randomness is
+        fold_in(key, t), independent of scan position."""
         c = self.consts
 
         def recurrence_iter(x, t, kk):
@@ -575,9 +589,7 @@ class GaussianDiffusion:
                 x = recurrence_iter(x, t, kk)
             return x, None
 
-        ts = jnp.arange(self.num_timesteps - 1, -1, -1)
-        x, _ = jax.lax.scan(body, x, ts, unroll=self.scan_unroll)
-        return self.unnormalize(x)
+        return body
 
     def ddim_sample(self, params, key, batch_size: int, cond_vals: dict,
                     guidance: GuidanceSpec = GuidanceSpec()) -> Array:
@@ -585,18 +597,46 @@ class GaussianDiffusion:
         (reference ddim_sample, diffusion_1d_burgers.py:586-644; the smoke
         variant with two-model reweighting + guidance, diffusion_2d_smoke.py:726-807).
         """
-        shape = (batch_size,) + self.sample_shape
         key, k0 = jax.random.split(key)
-        x = jax.random.normal(k0, shape, jnp.float32)
-        c = self.consts
-        eta = self.ddim_sampling_eta
+        x = self.sample_init(k0, batch_size)
+        body = self._make_ddim_body(params, key, cond_vals, guidance)
+        x, _ = jax.lax.scan(body, x, self.sample_ts(),
+                            unroll=self.scan_unroll)
+        return self.unnormalize(x)
 
+    def sample_ts(self):
+        """Full scan inputs (DDPM: int array; DDIM: (t, t_next) arrays)."""
+        if not self.is_ddim_sampling:
+            return jnp.arange(self.num_timesteps - 1, -1, -1)
         times = np.linspace(
             -1, self.num_timesteps - 1, self.sampling_timesteps + 1
         ).astype(int)
         times = list(reversed(times.tolist()))
-        t_curr = jnp.asarray(times[:-1], jnp.int32)
-        t_next = jnp.asarray(times[1:], jnp.int32)
+        return (jnp.asarray(times[:-1], jnp.int32),
+                jnp.asarray(times[1:], jnp.int32))
+
+    def sample_chunk(self, params, key, x, ts, cond_vals: dict,
+                     guidance: GuidanceSpec = GuidanceSpec()) -> Array:
+        """Run |ts| denoise steps on carry ``x`` (a slice of sample_ts()).
+
+        Jit once and call per chunk with equal-length slices, host-syncing
+        between calls; finish with sample_finalize. Bit-identical to
+        p_sample_loop / ddim_sample for any chunking."""
+        key, _ = jax.random.split(key)  # consume k0 exactly like the loops
+        make = (self._make_ddim_body if self.is_ddim_sampling
+                else self._make_ddpm_body)
+        body = make(params, key, cond_vals, guidance)
+        x, _ = jax.lax.scan(body, x, ts, unroll=self.scan_unroll)
+        return x
+
+    def sample_finalize(self, x: Array) -> Array:
+        return self.unnormalize(x)
+
+    def _make_ddim_body(self, params, key, cond_vals: dict,
+                        guidance: GuidanceSpec):
+        """DDIM scan body (see _make_ddpm_body for the chunking contract)."""
+        c = self.consts
+        eta = self.ddim_sampling_eta
 
         def body(x, tt):
             t, tn = tt
@@ -628,9 +668,7 @@ class GaussianDiffusion:
                 x_new = self.cond.transform(x_new, x_start, cond_vals, t)
             return x_new, None
 
-        x, _ = jax.lax.scan(body, x, (t_curr, t_next),
-                            unroll=self.scan_unroll)
-        return self.unnormalize(x)
+        return body
 
     def sample(self, params, key, batch_size: int = 16,
                cond_vals: Optional[dict] = None,

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from diffphycon_tpu.ops.pallas_unet2d import (
+from diffphycon_tpu.research.pallas_unet2d import (
     _chan_layer_norm,
     _film_all,
     _group_norm,

@@ -38,12 +38,26 @@ def make_surrogate_pairs(data: dict, kind: str, force_labels=None):
     states, bd, thetas = data["states"], data["bd"], data["thetas"]
     n, t = thetas.shape
     if kind == "force":
-        pressure = states[..., -1:]
+        # reference ForceData (data_surrogate_models_jellyfish.py:62-86):
+        # RAW pressure with +-50 outliers replaced by the inlier mean,
+        # label = x-force summed over boundaries, NaN -> 0, no clipping
+        norm = data.get("norm")
+        pressure = states[..., -1]
+        if norm is not None:
+            pressure = (0.5 * pressure + 0.5) * (
+                norm["p_max"] - norm["p_min"]) + norm["p_min"]
+        flat = pressure.reshape(n * t, -1)
+        inlier = np.abs(flat) <= 50.0
+        means = np.where(
+            inlier.any(1),
+            (flat * inlier).sum(1) / np.maximum(inlier.sum(1), 1), 0.0)
+        flat = np.where(np.abs(flat) > 50.0, means[:, None], flat)
+        pressure = flat.reshape(n, t, *bd.shape[2:4], 1).astype(np.float32)
         x = np.concatenate([pressure, bd], axis=-1).reshape(
             n * t, *bd.shape[2:4], 4)
         if force_labels is None:
             raise ValueError("force training requires force labels")
-        y = np.clip(force_labels.reshape(n * t, 1), -50, 50)
+        y = np.nan_to_num(force_labels.reshape(n * t, 1)).astype(np.float32)
         return (x,), y
     if kind == "simulator":
         x = np.concatenate([states[:, :-1], bd[:, :-1]], axis=-1)

@@ -367,3 +367,45 @@ def convert_force_unet(state_dict, num_levels=4):
             _conv(sd, f"downs.{i}.3") if is_last
             else {"conv": _conv(sd, f"downs.{i}.3.1")})
     return params
+
+
+# ---------------------------------------------------------------------------
+# Reference checkpoint-FILE ingestion (diffusion_1d_burgers.py:935-949 dict:
+# {step, model, opt, ema, scaler, loss}; 'model' is the GaussianDiffusion
+# state_dict with the UNet under the 'model.' prefix; 'ema' is the
+# ema_pytorch.EMA state_dict with the averaged copy under 'ema_model.model.').
+# ---------------------------------------------------------------------------
+
+
+def _strip_prefix(sd: Mapping, prefix: str) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in sd.items():
+        if k.startswith(prefix):
+            out[k[len(prefix):]] = np.asarray(
+                v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+    return out
+
+
+def extract_unet_state_dict(ckpt: Mapping, use_ema: bool = True) -> Dict:
+    """Pull the (EMA or online) UNet state_dict out of a loaded reference
+    Trainer checkpoint dict, dropping the diffusion schedule buffers."""
+    if use_ema and ckpt.get("ema"):
+        sub = _strip_prefix(ckpt["ema"], "ema_model.model.")
+        if sub:
+            return sub
+    return _strip_prefix(ckpt["model"], "model.")
+
+
+def load_reference_checkpoint_unet2d(path: str, num_levels: int = 4,
+                                     use_ema: bool = True) -> Dict:
+    """Reference ``cos10000-model-{k}.pt`` file -> flax UNet2D params.
+
+    End-to-end ingestion of a real reference artifact: torch.load the
+    Trainer save dict, select EMA or online weights, convert. The returned
+    dict plugs straight into ``UNet2D.apply`` / the diffusion core.
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = extract_unet_state_dict(ckpt, use_ema=use_ema)
+    return {"params": convert_unet2d(sd, num_levels=num_levels)}

@@ -22,6 +22,7 @@
 // Build: ./build_native.sh  (g++ -O3 -shared -fPIC -lz -lpthread)
 
 #include <atomic>
+#include <climits>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -85,6 +86,8 @@ int parse_npy_header(const unsigned char* buf, long len, NpyInfo* info) {
     if (v < 0) return -9;
     if (info->ndim < 8) info->shape[info->ndim] = v;
     info->ndim++;
+    // overflow-safe running product (see check_npy_payload)
+    if (v != 0 && info->elems > LONG_MAX / v) return -9;
     info->elems *= v;
   }
   if (info->ndim == 0) { info->shape[0] = 1; }
@@ -104,8 +107,14 @@ long npy_itemsize(int dtype_code) {
 // A truncated/malformed file whose header declares more elements than the
 // payload holds must not cause a heap over-read.
 int check_npy_payload(const NpyInfo& info, long total_bytes) {
-  long need = info.elems * npy_itemsize(info.dtype_code);
-  if (need < 0 || info.header_bytes + need > total_bytes) return -9;
+  long itemsize = npy_itemsize(info.dtype_code);
+  if (itemsize <= 0 || info.elems < 0) return -9;
+  // overflow-safe: validate the product against LONG_MAX before multiplying
+  // (a huge declared dim must not signed-overflow into a small positive
+  // value that passes the bounds check)
+  if (info.elems != 0 && info.elems > LONG_MAX / itemsize) return -9;
+  long need = info.elems * itemsize;
+  if (info.header_bytes + need > total_bytes) return -9;
   return 0;
 }
 

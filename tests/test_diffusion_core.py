@@ -307,3 +307,25 @@ def test_proj_ep_orthogonal_parity(reference_path):
         jnp.asarray(ep.transpose(0, 2, 3, 1)),
         jnp.asarray(g.transpose(0, 2, 3, 1)))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sample_chunked_matches_unchunked():
+    """sample_init/sample_chunk/sample_finalize with host syncs between
+    segments is bit-identical to the single-scan loops (DDPM and DDIM)."""
+    for gd in (make_gd(), make_gd(sampling_timesteps=10)):
+        key = jax.random.PRNGKey(9)
+        ref = gd.sample(None, key, batch_size=2, cond_vals={})
+
+        key2, k0 = jax.random.split(key)
+        del key2
+        x = gd.sample_init(k0, 2)
+        ts = gd.sample_ts()
+        n = (ts[0] if isinstance(ts, tuple) else ts).shape[0]
+        step = n // 4
+        for i in range(0, n, step):
+            sl = (tuple(a[i : i + step] for a in ts)
+                  if isinstance(ts, tuple) else ts[i : i + step])
+            x = gd.sample_chunk(None, key, x, sl, {})
+            x = jnp.asarray(np.asarray(x))  # host sync
+        out = gd.sample_finalize(x)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))

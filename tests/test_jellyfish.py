@@ -243,3 +243,37 @@ def test_reg_theta():
     ref = ((th[:, 1:] - th[:, :-1]) ** 2).sum(1)
     ours = np.asarray(bench.reg_theta(jnp.asarray(th)))
     np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+def test_sample_chunked_matches_unchunked():
+    """Host-synced chunked scanning (the axon long-scan workaround,
+    apps/infer_jellyfish.py --scan_chunks) is bit-identical to one scan,
+    for both the DDPM and DDIM paths."""
+    rng = np.random.default_rng(7)
+    s0 = jnp.asarray(rng.normal(size=(2, H, H, 3)).astype(np.float32))
+    b0 = jnp.asarray(rng.normal(size=(2, H, H, 3)).astype(np.float32))
+    th0 = jnp.asarray(rng.normal(size=(2,)).astype(np.float32))
+    params = (None, None, None)
+
+    for cfg in (small_cfg(), small_cfg(sampling_timesteps=6)):
+        gd = bench.JellyfishDiffusion(cfg, _stub_joint,
+                                      thetas_apply=_stub_thetas,
+                                      bd_updater_apply=_stub_bd)
+        key = jax.random.PRNGKey(3)
+        ref_states, ref_theta = gd.sample(params, key, s0, b0, th0)
+
+        k0, _ = jax.random.split(key)
+        x = gd.sample_init(k0, s0, b0, th0)
+        ts = gd.sample_ts()
+        n = (ts[0] if isinstance(ts, tuple) else ts).shape[0]
+        chunk = n // 2
+        for i in range(0, n, chunk):
+            sl = (tuple(a[i : i + chunk] for a in ts)
+                  if isinstance(ts, tuple) else ts[i : i + chunk])
+            x = gd.sample_chunk(params, key, s0, b0, th0, x, sl)
+            x = jnp.asarray(np.asarray(x))  # host sync between chunks
+        states, theta = gd.sample_finalize(x)
+        np.testing.assert_array_equal(np.asarray(ref_states),
+                                      np.asarray(states))
+        np.testing.assert_array_equal(np.asarray(ref_theta),
+                                      np.asarray(theta))

@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import pytest
 
 from diffphycon_tpu.nets.unet2d import UNet2D
-from diffphycon_tpu.ops import pallas_unet2d_mega as mega
+from diffphycon_tpu.research import pallas_unet2d_mega as mega
 
 
 @pytest.fixture(autouse=True)

@@ -78,3 +78,40 @@ def test_operator_differentiable():
     g = jax.grad(loss)(f)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_operator_training_app_and_sl_surrogate(tmp_path):
+    """The latent-operator training entry (VERDICT r2 missing #5) runs end to
+    end on tiny budgets, its saved params load, and the SL baseline can
+    optimize through the trained operator (surrogate-guidance path)."""
+    import numpy as np
+    import jax
+
+    import apps.train_burgers_operator as app
+
+    args = app.build_parser().parse_args([
+        "--synthetic_data", "8", "--num_steps", "30", "--batch_size", "16",
+        "--data_root", str(tmp_path / "data"),
+        "--results_folder", str(tmp_path / "op"),
+    ])
+    app.main(args)
+
+    import orbax.checkpoint as ocp
+
+    from diffphycon_tpu.nets.burgers_operator import SurrogateOperator
+    op = SurrogateOperator(s=128, s_ob=128)
+    target = jax.jit(op.init, backend="cpu")(jax.random.PRNGKey(0))
+    ckptr = ocp.StandardCheckpointer()
+    params = ckptr.restore((tmp_path / "op" / "params_sob128").resolve(),
+                           target=jax.device_get(target))
+    ckptr.close()
+
+    from diffphycon_tpu.baselines.sl_burgers import sl_optimize_control
+    rng = np.random.default_rng(0)
+    u0 = jnp.asarray(rng.normal(size=(2, 128)).astype(np.float32))
+    uT = jnp.asarray(rng.normal(size=(2, 128)).astype(np.float32))
+    f_opt, hist = sl_optimize_control(u0, uT, steps=3,
+                                      surrogate=(op, params))
+    assert f_opt.shape == (2, 10, 128)
+    assert np.isfinite(np.asarray(f_opt)).all()
+    assert np.isfinite(hist).all()

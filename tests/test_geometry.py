@@ -68,3 +68,39 @@ def test_reconstruct_boundary_subpixel():
     assert pts.shape[1] == 2
     frac = pts[:, 0] - np.floor(pts[:, 0])
     np.testing.assert_allclose(frac, 0.75, atol=1e-6)
+
+
+def test_find_clusters_fast_matches_reference_algorithm():
+    """8-connected components + min_samples=2 semantics == find_clusters
+    (DBSCAN eps=1.5) on dataset-like masks with speckles."""
+    from diffphycon_tpu.control.geometry import find_clusters, find_clusters_fast
+
+    rng = np.random.default_rng(0)
+    grid = np.zeros((40, 40), int)
+    grid[5:12, 6:20] = 1            # blob A
+    grid[25:30, 22:33] = 1          # blob B
+    grid[2, 35] = 1                 # singleton -> noise under min_samples=2
+    grid[20, 3] = grid[20, 4] = 1   # 2-cell cluster
+    a = find_clusters(grid)
+    b = find_clusters_fast(grid)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_compute_pressforce_from_mask_dataset_frame():
+    """Finite per-wing forces from a real dataset frame, consistent with the
+    per-cluster integrator on the same outlines."""
+    import os
+
+    from diffphycon_tpu.control.geometry import compute_pressforce_from_mask
+
+    root = "data/jellyfish/train_data"
+    if not os.path.isdir(root):
+        pytest.skip("jellyfish data not present")
+    st = np.load(os.path.join(root, "states", "sim_000000.npz"))["a"]
+    bd = np.load(os.path.join(root, "bdry_merged_mask_offsets",
+                              "sim_000000.npz"))["a"]
+    out = compute_pressforce_from_mask(np.nan_to_num(st[0, 2]), bd[0],
+                                       pad_shift=1.0)
+    assert out.ndim == 2 and out.shape[1] == 2
+    assert out.shape[0] >= 2  # at least the two wings
+    assert np.isfinite(out).all()

@@ -40,6 +40,11 @@ def build_parser():
     p.add_argument("--use_ema", default=True, type=eval)
 
     p.add_argument("--partial_control", default="full", type=none_or_str)
+    p.add_argument("--synthetic_partial_control", default=None,
+                   type=none_or_str,
+                   help="targets drawn from the partial-control synthetic "
+                        "distribution (reference "
+                        "free_u_f_1e5_front_rear_quarter)")
     p.add_argument("--partially_observed", default=None, type=none_or_str)
     p.add_argument("--train_on_partially_observed", default=None, type=none_or_str)
     p.add_argument("--set_unobserved_to_zero_during_sampling", default=False,
@@ -90,6 +95,7 @@ def get_target(args):
         from diffphycon_tpu.training.data import synthetic_burgers
 
         u, _ = synthetic_burgers(args.synthetic_data, seed=12345,
+                                 partial_control=args.synthetic_partial_control,
                                  cache_dir=os.path.join(args.data_root,
                                                         "synthetic"))
         return u[: args.n_test_samples]

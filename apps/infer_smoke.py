@@ -48,6 +48,12 @@ def build_parser():
     p.add_argument("--solver_accuracy", default=1e-6, type=float)
     p.add_argument("--bf16", default=False, type=eval)
     p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--calibrate", default=True, type=eval,
+                   help="also evaluate zero-control and dataset-control "
+                        "rollouts to anchor the J scale")
+    p.add_argument("--scan_chunks", default=1, type=int,
+                   help="split the denoise scan into N host-synced segments "
+                        "(bit-identical; axon long-scan workaround)")
     return p
 
 
@@ -90,12 +96,31 @@ def main(args):
     bs = min(args.batch_size, n)
     r = jnp.asarray(bench.RESCALER)
 
-    sampler = jax.jit(
-        lambda p, key, init: gd.sample(
-            p, key, batch_size=init.shape[0],
-            cond_vals={"init": init}, guidance=guidance,
+    if args.scan_chunks <= 1:
+        sampler = jax.jit(
+            lambda p, key, init: gd.sample(
+                p, key, batch_size=init.shape[0],
+                cond_vals={"init": init}, guidance=guidance,
+            )
         )
-    )
+    else:
+        chunk_fn = jax.jit(
+            lambda p, key, init, x, ts: gd.sample_chunk(
+                p, key, x, ts, {"init": init}, guidance))
+
+        def sampler(p, key, init):
+            key2, k0 = jax.random.split(key)
+            del key2
+            x = gd.sample_init(k0, init.shape[0])
+            ts = gd.sample_ts()
+            n_steps = (ts[0] if isinstance(ts, tuple) else ts).shape[0]
+            chunk = -(-n_steps // args.scan_chunks)
+            for j in range(0, n_steps, chunk):
+                sl = (tuple(a[j : j + chunk] for a in ts)
+                      if isinstance(ts, tuple) else ts[j : j + chunk])
+                x = chunk_fn(p, key, init, x, sl)
+                np.asarray(x)  # host sync between segments
+            return gd.sample_finalize(x)
     sim = SmokeSim.create(accuracy=args.solver_accuracy)
     evaluate = jax.jit(
         lambda pred, d: {
@@ -133,6 +158,25 @@ def main(args):
         k: float(np.concatenate([m[k] for m in metrics]).mean())
         for k in metrics[0]
     }
+    if args.calibrate:
+        # anchor rows: what J the solver gives with no control at all and
+        # with the dataset's own (ground-truth) control schedule
+        cal = {"zero_control": [], "dataset_control": []}
+        for i in range(0, n, bs):
+            d = jnp.asarray(data[i : i + bs])
+            base = d[:, :32] / r
+            zero = base.at[..., 3:5].set(0.0)
+            cal["zero_control"].append(
+                np.asarray(evaluate(zero, d)["J_target"]))
+            cal["dataset_control"].append(
+                np.asarray(evaluate(base, d)["J_target"]))
+        agg["J_target_zero_control"] = float(
+            np.concatenate(cal["zero_control"]).mean())
+        agg["J_target_dataset_control"] = float(
+            np.concatenate(cal["dataset_control"]).mean())
+        print(f"calibration: J_target zero-control "
+              f"{agg['J_target_zero_control']:.4f}, dataset-control "
+              f"{agg['J_target_dataset_control']:.4f}", flush=True)
     agg["walltime_s"] = round(walltime, 2)
     agg["sampling_steps_per_s"] = round(steps_per_s, 2)
     agg["n"] = n

@@ -28,6 +28,12 @@ def build_parser():
     p.add_argument("--dataset", default="free_u_f_1e5", type=str)
     p.add_argument("--data_root", default="data", type=str,
                    help="directory holding <dataset>/burgers_train.h5")
+    p.add_argument("--synthetic_partial_control", default=None,
+                   type=none_or_str,
+                   help="generate the synthetic dataset with control "
+                        "restricted to the front/rear quarter (the "
+                        "reference's free_u_f_1e5_front_rear_quarter "
+                        "FOPC/POPC dataset)")
     p.add_argument("--synthetic_data", default=0, type=int,
                    help="if >0, generate N synthetic samples with the JAX "
                         "solver instead of reading h5 (self-contained runs)")
@@ -99,6 +105,7 @@ def main(args):
 
     if args.synthetic_data > 0:
         u, f = synthetic_burgers(args.synthetic_data, seed=args.seed,
+                                  partial_control=args.synthetic_partial_control,
                                   cache_dir=os.path.join(args.data_root, "synthetic"))
     else:
         path = os.path.join(args.data_root, args.dataset, "burgers_train.h5")

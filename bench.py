@@ -101,15 +101,123 @@ def main(impl: str = "auto"):
     dt = (time.time() - t0) / n_rep
     steps_per_sec = cfg.timesteps / dt
 
-    print(json.dumps({
+    out = {
         "metric": "guided_denoise_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 2),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / REFERENCE_STEPS_PER_SEC_ESTIMATE, 2),
-    }))
+    }
+    # block_until_ready can return early on the axon runtime (PERF.md
+    # "measurement traps"); the forced host transfer is the honest timer.
+    # Reported alongside (not as the primary) to stay comparable with
+    # BENCH_r01/r02.
+    t0 = time.time()
+    for i in range(n_rep):
+        x = sample(all_params, jax.random.PRNGKey(10 + i))
+        np.asarray(x)
+    dt_forced = (time.time() - t0) / n_rep
+    out["value_forced_sync"] = round(cfg.timesteps / dt_forced, 2)
+    return out
+
+
+def bench_smoke(np, jax, jnp, batch=4, ddim_steps=100):
+    """Smoke two-model guided DDIM steady state (the reference inference
+    profile, inference_2d_smoke.py:516: 100 DDIM steps x 2 UNet3D forwards +
+    guidance grad), timed over one full sample with a forced host sync."""
+    from diffphycon_tpu.benchmarks import smoke as bench
+
+    import dataclasses
+
+    cfg = bench.SmokeConfig(bf16=True, ddim_sampling_steps=ddim_steps)
+    cfg_w = dataclasses.replace(cfg, is_w_model=True)
+    net = bench.build_unet(cfg)
+    net_w = bench.build_unet(cfg_w)
+    h, f = cfg.image_size, cfg.frames
+    init = jax.jit(lambda: (
+        net.init(jax.random.PRNGKey(0), jnp.zeros((1, f, h, h, 6)),
+                 jnp.zeros((1,))),
+        net_w.init(jax.random.PRNGKey(1), jnp.zeros((1, f, h, h, 2)),
+                   jnp.zeros((1,)))), backend="cpu")
+    params, params_w = jax.device_put(init())
+    gd = bench.build_diffusion(cfg, net.apply, model_w_apply=net_w.apply)
+    guidance = bench.build_guidance(cfg)
+    rng = np.random.default_rng(0)
+    init_d = jnp.asarray(rng.normal(size=(batch, h, h)).astype(np.float32))
+    sample = jax.jit(lambda p, key: gd.sample(
+        p, key, batch_size=batch, cond_vals={"init": init_d},
+        guidance=guidance))
+    x = sample((params, params_w), jax.random.PRNGKey(0))
+    np.asarray(x)  # compile + settle
+    t0 = time.time()
+    x = sample((params, params_w), jax.random.PRNGKey(1))
+    np.asarray(x)
+    return round(ddim_steps / (time.time() - t0), 2)
+
+
+def bench_jellyfish(np, jax, jnp, batch=1, chunk_steps=100):
+    """Jellyfish guided DDPM steady-state step rate (reference profile,
+    inference_2d_jellyfish.py:905: 1000 steps x (EBM joint + thetas UNet3D +
+    bd-updater + ForceUNet guidance)); measured on a 100-step sample_chunk
+    with forced host sync."""
+    from diffphycon_tpu.benchmarks import jellyfish as bench
+
+    cfg = bench.JellyfishConfig(bf16=True)
+    nj = bench.build_joint_unet(cfg)
+    nt = bench.build_thetas_unet(cfg)
+    nb = bench.build_bd_updater(cfg)
+    nf = bench.build_force_unet(cfg)
+    h = cfg.image_size
+    init = jax.jit(lambda: (
+        nj.init(jax.random.PRNGKey(0),
+                jnp.zeros((1, cfg.frames, h, h, cfg.joint_channels)),
+                jnp.zeros((1,), jnp.int32)),
+        nt.init(jax.random.PRNGKey(1),
+                jnp.zeros((1, cfg.frames, h, h, cfg.joint_channels)),
+                jnp.zeros((1,), jnp.int32)),
+        nb.init(jax.random.PRNGKey(2), jnp.zeros((1, h, h, 3)),
+                jnp.zeros((1,))),
+        nf.init(jax.random.PRNGKey(3), jnp.zeros((1, h, h, 4)))),
+        backend="cpu")
+    pj, pt, pb, pf = jax.device_put(init())
+    gd = bench.JellyfishDiffusion(cfg, nj.apply, thetas_apply=nt.apply,
+                                  bd_updater_apply=nb.apply)
+    design_fn = bench.make_force_design_fn(cfg, nf.apply, pf, nb.apply, pb,
+                                           -1.0, 1.0)
+    rng = np.random.default_rng(0)
+    s0 = jnp.asarray(rng.normal(size=(batch, h, h, 3)).astype(np.float32))
+    b0 = jnp.asarray(rng.normal(size=(batch, h, h, 3)).astype(np.float32))
+    th0 = jnp.asarray(rng.normal(size=(batch,)).astype(np.float32))
+    key = jax.random.PRNGKey(5)
+    params = (pj, pt, pb)
+    k0, _ = jax.random.split(key)
+    x = gd.sample_init(k0, s0, b0, th0)
+    ts = gd.sample_ts()
+    chunk = jax.jit(lambda p, x, ts: gd.sample_chunk(
+        p, key, s0, b0, th0, x, ts, design_fn=design_fn))
+    x = chunk(params, x, ts[:chunk_steps])
+    np.asarray(x)  # compile + settle
+    t0 = time.time()
+    x = chunk(params, x, ts[chunk_steps : 2 * chunk_steps])
+    np.asarray(x)
+    return round(chunk_steps / (time.time() - t0), 2)
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--impl", default="auto", choices=["auto", "xla", "pallas"])
-    main(ap.parse_args().impl)
+    ap.add_argument("--full", action="store_true",
+                    help="also bench the UNet3D sampling loops (smoke DDIM, "
+                         "jellyfish guided DDPM) as secondary metrics")
+    args = ap.parse_args()
+    out = main(args.impl)
+    if args.full:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        out["secondary"] = {
+            "smoke_ddim_guided_steps_per_sec": bench_smoke(np, jax, jnp),
+            "jellyfish_ddpm_guided_steps_per_sec": bench_jellyfish(
+                np, jax, jnp),
+        }
+    print(json.dumps(out))

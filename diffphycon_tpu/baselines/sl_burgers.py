@@ -29,8 +29,15 @@ def sl_optimize_control(
     steps: int = 100,
     solver_dt: float = 1e-4,
     partial_control: str | None = None,
+    surrogate=None,
 ):
     """Optimize f (B, Nt-1, Nx) by Adam on the solver-adjoint gradient.
+
+    surrogate: optional (SurrogateOperator, params) — optimize through the
+    learned latent operator instead of the true solver, the reference's
+    actual SL formulation (baselines/sl_burgers/sl_burgers_control.py uses
+    Simu_surrogate_model; useful in partial-observation settings where the
+    true state is not available to the optimizer).
 
     Returns (f_opt, J_history)."""
     b, nx = u0.shape
@@ -47,7 +54,12 @@ def sl_optimize_control(
 
     def objective(f):
         fm = f * mask
-        traj = burgers_solve(u0, fm, visc=0.01, T=1.0, dt=solver_dt, num_t=nt)
+        if surrogate is not None:
+            op, op_params = surrogate
+            traj = op.rollout(op_params, u0, fm)
+        else:
+            traj = burgers_solve(u0, fm, visc=0.01, T=1.0, dt=solver_dt,
+                                 num_t=nt)
         dev = ((traj[:, -1] - u_target_T) ** 2).mean()
         return dev + lamb * (fm**2).sum(axis=(-1, -2)).mean()
 

@@ -129,10 +129,11 @@ def _silu(x):
 # ---------------------------------------------------------------------------
 
 
-def _resblock_kernel(x_ref, ss_ref, w1_ref, b1_ref, gs1_ref, gb1_ref,
-                     w2_ref, b2_ref, gs2_ref, gb2_ref, wr_ref, br_ref,
-                     o_ref, xp1_ref, xp2_ref, *, groups: int, has_res: bool):
-    x = x_ref[...].astype(jnp.float32)
+def _resblock_body(x, ss_ref, w1_ref, b1_ref, gs1_ref, gb1_ref,
+                   w2_ref, b2_ref, gs2_ref, gb2_ref, wr_ref, br_ref,
+                   xp1_ref, xp2_ref, groups: int, has_res: bool):
+    """One ResnetBlock on an in-VMEM value; shared by the per-block kernel
+    and the fused mid-grain pair kernel."""
     ss = ss_ref[...].astype(jnp.float32)[:, 0, :]  # (bs, 1, 2Co) -> (bs, 2Co)
     co = w1_ref.shape[-1]
     h = _conv2d(x, w1_ref, b1_ref[...].astype(jnp.float32), xp1_ref, 3, 3)
@@ -153,7 +154,41 @@ def _resblock_kernel(x_ref, ss_ref, w1_ref, b1_ref, gs1_ref, gb1_ref,
         res = res.reshape(bs, H, W, co) + br_ref[...].astype(jnp.float32)
     else:
         res = x
-    o_ref[...] = (h + res).astype(o_ref.dtype)
+    return h + res
+
+
+def _resblock_kernel(x_ref, ss_ref, w1_ref, b1_ref, gs1_ref, gb1_ref,
+                     w2_ref, b2_ref, gs2_ref, gb2_ref, wr_ref, br_ref,
+                     o_ref, xp1_ref, xp2_ref, *, groups: int, has_res: bool):
+    x = x_ref[...].astype(jnp.float32)
+    out = _resblock_body(x, ss_ref, w1_ref, b1_ref, gs1_ref, gb1_ref,
+                         w2_ref, b2_ref, gs2_ref, gb2_ref, wr_ref, br_ref,
+                         xp1_ref, xp2_ref, groups, has_res)
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+def _resblock_pair_kernel(x_ref, ssa_ref, ssb_ref,
+                          aw1_ref, ab1_ref, ags1_ref, agb1_ref,
+                          aw2_ref, ab2_ref, ags2_ref, agb2_ref,
+                          awr_ref, abr_ref,
+                          bw1_ref, bb1_ref, bgs1_ref, bgb1_ref,
+                          bw2_ref, bb2_ref, bgs2_ref, bgb2_ref,
+                          bwr_ref, bbr_ref,
+                          o_ref, xp1_ref, xp2_ref, *,
+                          groups: int, has_res_a: bool, has_res_b: bool):
+    """MID-GRAIN experiment (VERDICT r2 #7): two consecutive ResnetBlocks of
+    a resolution level fused into ONE pallas_call (the attention between
+    levels stays XLA — Mosaic cannot lower the per-head lane splits, see
+    _use_xla_attention). Tests whether halving the per-call dispatch count at
+    a size Mosaic still compiles beats the per-block path."""
+    x = x_ref[...].astype(jnp.float32)
+    h = _resblock_body(x, ssa_ref, aw1_ref, ab1_ref, ags1_ref, agb1_ref,
+                       aw2_ref, ab2_ref, ags2_ref, agb2_ref, awr_ref,
+                       abr_ref, xp1_ref, xp2_ref, groups, has_res_a)
+    out = _resblock_body(h, ssb_ref, bw1_ref, bb1_ref, bgs1_ref, bgb1_ref,
+                         bw2_ref, bb2_ref, bgs2_ref, bgb2_ref, bwr_ref,
+                         bbr_ref, xp2_ref, xp2_ref, groups, has_res_b)
+    o_ref[...] = out.astype(o_ref.dtype)
 
 
 def _linear_attention_kernel(x_ref, ng_ref, wqkv_ref, wo_ref, bo_ref,
@@ -376,6 +411,39 @@ def resblock(x, ss, p, groups: int = 1):
     return _run(kern, x, extras, out_shape, per_sample, scratch)
 
 
+def resblock_pair(x, ss_a, ss_b, p_a, p_b, groups: int = 1):
+    """Two consecutive ResnetBlocks in ONE pallas_call (mid-grain
+    experiment). Used for the down-path pairs where no concat/attention sits
+    between the blocks and channels are equal."""
+    ss_a = ss_a[:, None, :]
+    ss_b = ss_b[:, None, :]
+    ci = p_a["w1"].shape[1]
+    co_a = p_a["w1"].shape[-1]
+    co_b = p_b["w1"].shape[-1]
+    # the fused scratch plan assumes the down-pair channel pattern
+    assert ci == co_a == co_b, "resblock_pair requires equal channels"
+    out_shape = x.shape[:-1] + (co_b,)
+    _, H, W, _ = x.shape
+    per_sample = 4 * H * W * (2 * ci + 4 * co_a + 4 * co_b)
+    zw = jnp.zeros((1, 1), x.dtype)
+    zb = jnp.zeros((1,), x.dtype)
+    extras = [(ss_a, True), (ss_b, True)]
+    for p in (p_a, p_b):
+        extras += [(p["w1"], False), (p["b1"], False), (p["gs1"], False),
+                   (p["gb1"], False), (p["w2"], False), (p["b2"], False),
+                   (p["gs2"], False), (p["gb2"], False),
+                   (p.get("wr", zw), False), (p.get("br", zb), False)]
+    f32 = jnp.float32
+
+    def scratch(bs):
+        return [_sd((bs, H + 2, _ralign(W + 2, f32), ci), f32),
+                _sd((bs, H + 2, _ralign(W + 2, f32), max(co_a, co_b)), f32)]
+
+    kern = functools.partial(_resblock_pair_kernel, groups=groups,
+                             has_res_a="wr" in p_a, has_res_b="wr" in p_b)
+    return _run(kern, x, extras, out_shape, per_sample, scratch)
+
+
 def linear_attention_block(x, p, heads: int = 4, dim_head: int = 32):
     """p: norm_g, wqkv (C, 3*hidden), wo (hidden, C), bo, out_g."""
     hidden = heads * dim_head
@@ -397,6 +465,41 @@ def attention_block(x, p, heads: int = 4, dim_head: int = 32):
     kern = functools.partial(_attention_kernel, heads=heads,
                              dim_head=dim_head)
     return _run(kern, x, extras, x.shape, per_sample)
+
+
+def resblock_xla(x, ss, p, groups: int = 1):
+    """XLA twin of the resblock kernels on packed weights (for the mid-grain
+    experiment's 3-way comparison: XLA vs per-block vs fused pair)."""
+    b, H, W, ci = x.shape
+    co = p["w1"].shape[-1]
+    x32 = x.astype(jnp.float32)
+
+    def conv3(h, w9, bias):
+        w = w9.reshape(3, 3, w9.shape[1], w9.shape[2])
+        out = jax.lax.conv_general_dilated(
+            h, w.astype(jnp.float32), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out + bias.astype(jnp.float32)
+
+    def gn(h, scale, bias):
+        g = h.reshape(b, H * W, groups, -1)
+        mean = g.mean(axis=(1, 3), keepdims=True)
+        var = ((g - mean) ** 2).mean(axis=(1, 3), keepdims=True)
+        g = (g - mean) * jax.lax.rsqrt(var + 1e-5)
+        return g.reshape(h.shape) * scale.astype(jnp.float32) + bias.astype(
+            jnp.float32)
+
+    h = gn(conv3(x32, p["w1"], p["b1"]), p["gs1"], p["gb1"])
+    scale, shift = jnp.split(ss.astype(jnp.float32), 2, axis=-1)
+    h = h * (scale[:, None, None, :] + 1.0) + shift[:, None, None, :]
+    h = _silu(h)
+    h = _silu(gn(conv3(h, p["w2"], p["b2"]), p["gs2"], p["gb2"]))
+    if "wr" in p:
+        res = jnp.dot(x32.reshape(b * H * W, ci), p["wr"].astype(jnp.float32))
+        res = res.reshape(b, H, W, co) + p["br"].astype(jnp.float32)
+    else:
+        res = x32
+    return (h + res).astype(x.dtype)
 
 
 def _use_xla_attention() -> bool:

@@ -409,3 +409,15 @@ def load_reference_checkpoint_unet2d(path: str, num_levels: int = 4,
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = extract_unet_state_dict(ckpt, use_ema=use_ema)
     return {"params": convert_unet2d(sd, num_levels=num_levels)}
+
+
+def load_reference_checkpoint_unet3d(path: str, num_levels: int = 3,
+                                     use_ema: bool = True) -> Dict:
+    """Reference smoke/jellyfish Trainer .pt file -> flax UNet3D params
+    (same Trainer dict layout as the Burgers one; smoke Trainer.save at
+    diffusion_2d_smoke.py:942-985)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = extract_unet_state_dict(ckpt, use_ema=use_ema)
+    return {"params": convert_unet3d(sd, num_levels=num_levels)}

@@ -1,0 +1,71 @@
+#!/bin/bash
+# Round-3 chip campaign, part B: everything after the long smoke-joint run.
+# Launched by a watcher when the smoke_joint stage's process exits.
+#
+# Budget notes (single v5e chip, serialized):
+# - only the FORCE surrogate is retrained for the real pressure-force labels
+#   (VERDICT #2): the simulator and boundary-updater never consumed force
+#   labels, so their r2 checkpoints remain valid.
+# - the jellyfish EBM/thetas models keep their r2 checkpoints; the round's
+#   chip-hours go to the smoke scale-up (VERDICT #1) and the Burgers 100k
+#   extension + FOPC partial-control setting (VERDICT #4/#5).
+cd "$(dirname "$0")/.."
+STAGES=${STAGES:-"burgers_ext burgers_fopc burgers_po smoke_w jelly_force infer"}
+
+SMOKE_W_SECS=${SMOKE_W_SECS:-3900}
+
+for st in $STAGES; do
+echo "=== STAGE $st $(date -u +%H:%M:%S)"
+case $st in
+burgers_ext)
+  # VERDICT #4: drive the r2-40k pair to 100k steps (cos10000 LR minima)
+  for W in False True; do
+    timeout 3000 python apps/train_burgers.py --synthetic_data 40960 \
+      --train_num_steps 100000 --checkpoint_interval 10000 --batch_size 32 \
+      --exp_id r2-40k --is_condition_u0 True --is_condition_uT True \
+      --is_model_w $W --resume True
+  done
+  ;;
+burgers_fopc)
+  # The reference's headline FOPC setting: PARTIAL-CONTROL dataset
+  # (free_u_f_1e5_front_rear_quarter, scripts/burgers_train_full_obs_partial_ctr.sh)
+  for W in False True; do
+    timeout 2400 python apps/train_burgers.py --synthetic_data 40960 \
+      --synthetic_partial_control front_rear_quarter \
+      --train_num_steps 40000 --checkpoint_interval 10000 --batch_size 32 \
+      --exp_id FOPC --is_condition_u0 True --is_condition_uT True \
+      --is_model_w $W --resume True
+  done
+  ;;
+burgers_po)
+  # VERDICT #5: POFC (partial obs, FULL control: reference free_u_f_1e5)
+  for W in False True; do
+    timeout 1200 python apps/train_burgers.py --synthetic_data 40960 \
+      --train_num_steps 30000 --checkpoint_interval 10000 --batch_size 32 \
+      --exp_id POFC --partially_observed front_rear_quarter \
+      --train_on_partially_observed front_rear_quarter \
+      --is_condition_u0 True --is_condition_uT True \
+      --is_model_w $W --resume True
+  done
+  ;;
+smoke_w)
+  timeout $SMOKE_W_SECS python apps/train_smoke.py \
+    --dataset_path data/smoke --train_num_steps 40000 \
+    --checkpoint_interval 2000 --batch_size 4 --is_w_model True \
+    --bf16 False --remat_all True --resume True \
+    --results_folder trained_models/smoke_w/r3
+  ;;
+jelly_force)
+  # fresh ForceUNet on the real pressure-force labels, into the shared
+  # surrogates folder (supersedes the r2 pseudo-label force model)
+  timeout 3300 python apps/train_surrogates_jellyfish.py \
+    --dataset_path data/jellyfish --model force --num_steps 3000 \
+    --save_every 1000 \
+    --results_folder trained_models/surrogates
+  ;;
+infer)
+  bash scripts/infer_r3.sh || true
+  ;;
+esac
+done
+echo "R3B CAMPAIGN CHAIN DONE"

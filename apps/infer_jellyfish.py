@@ -169,6 +169,19 @@ def main(args):
                                         use_ema=args.use_ema)
     params_bd = load_surrogate(args.surrogate_folder, "boundary_updater")
     params_force = load_surrogate(args.surrogate_folder, "force")
+    params_sim = load_surrogate(args.surrogate_folder, "simulator")
+    net_sim = bench.build_simulator_unet(cfg)
+
+    # params as jit ARGUMENTS (closing over them embeds them in the compile
+    # payload -> remote-compile HTTP 413, PERF.md measurement traps)
+    def _rollout(ps, pf, pb, s0, b0, th):
+        ppl = bench.SurrogatePipeline(cfg, net_sim.apply, ps,
+                                      net_force.apply, pf, net_bd.apply, pb)
+        return ppl.rollout(s0, b0, th)
+
+    rollout_jit = jax.jit(_rollout)
+    rollout = lambda s0, b0, th: rollout_jit(params_sim, params_force,
+                                             params_bd, s0, b0, th)
 
     data = load_jellyfish_dataset(args.dataset_path, "test",
                                   n=args.n_test_samples,
@@ -232,8 +245,10 @@ def main(args):
 
     n = data["states"].shape[0]
     bs = min(args.batch_size, n)
-    all_obj, all_theta_mae = [], []
+    all_obj, all_obj_cl, all_theta_mae = [], [], []
     t0 = time.time()
+    from diffphycon_tpu.control.metrics import jellyfish_objective
+
     for i in range(0, n, bs):
         s0 = jnp.asarray(data["states"][i : i + bs, 0])
         b0 = jnp.asarray(data["bd"][i : i + bs, 0])
@@ -244,14 +259,24 @@ def main(args):
                                          s0, b0, th0)
         obj = objective(pred_states, pred_theta, b0)
         all_obj.append(np.asarray(obj))
+        # closed-loop score: execute the sampled theta schedule through the
+        # surrogate pipeline, the SAME evaluation MPC gets (reference
+        # sim_ppl_2d rollouts) -> directly comparable objectives
+        _, forces_cl = rollout(s0, b0, pred_theta)
+        d_cl = np.diff(np.asarray(pred_theta), axis=1)
+        all_obj_cl.append(np.asarray(
+            jellyfish_objective(np.asarray(forces_cl), d_cl,
+                                args.reg_ratio)))
         all_theta_mae.append(
             np.abs(np.asarray(pred_theta) - th_gt).mean(axis=1))
-        print(f"batch {i // bs}: objective={float(np.asarray(obj).mean()):.4f}",
+        print(f"batch {i // bs}: objective={float(np.asarray(obj).mean()):.4f}"
+              f" closed_loop={float(all_obj_cl[-1].mean()):.4f}",
               flush=True)
     walltime = time.time() - t0
 
     agg = {
         "objective": float(np.concatenate(all_obj).mean()),
+        "objective_closed_loop": float(np.concatenate(all_obj_cl).mean()),
         "theta_mae_vs_gt": float(np.concatenate(all_theta_mae).mean()),
         "walltime_s": round(walltime, 2),
         "n": n,

@@ -10,13 +10,20 @@
 #   chip-hours go to the smoke scale-up (VERDICT #1) and the Burgers 100k
 #   extension + FOPC partial-control setting (VERDICT #4/#5).
 cd "$(dirname "$0")/.."
-STAGES=${STAGES:-"burgers_ext burgers_fopc burgers_po smoke_w jelly_force infer"}
+STAGES=${STAGES:-"midgrain burgers_ext burgers_fopc burgers_po smoke_w jelly_force infer"}
 
 SMOKE_W_SECS=${SMOKE_W_SECS:-3900}
 
 for st in $STAGES; do
 echo "=== STAGE $st $(date -u +%H:%M:%S)"
 case $st in
+midgrain)
+  # VERDICT #7: the bounded mid-grain Pallas experiment (fused ResBlock-pair
+  # kernel vs per-block vs XLA); measured numbers land in PERF.md either way
+  timeout 1800 python scripts/bench_midgrain_pallas.py \
+    > /tmp/midgrain_r3.log 2>&1 || true
+  tail -3 /tmp/midgrain_r3.log
+  ;;
 burgers_ext)
   # VERDICT #4: drive the r2-40k pair to 100k steps (cos10000 LR minima)
   for W in False True; do

@@ -73,7 +73,7 @@ if [ -n "$SCK" ] && [ -n "$SWCK" ]; then
 timeout 5400 python apps/infer_smoke.py --dataset_path data/smoke \
   --joint_folder trained_models/smoke/r3 --w_folder trained_models/smoke_w/r3 \
   --diffusion_joint_checkpoint "$SCK" --diffusion_w_checkpoint "$SWCK" \
-  --n_test_samples 24 --batch_size 4 --bf16 True --calibrate True || true
+  --n_test_samples 16 --batch_size 4 --bf16 True --calibrate True || true
 fi
 
 # ---- Jellyfish: DDPM-1000 via chunked scan + real-label surrogates (#2, #3)
@@ -86,7 +86,7 @@ timeout 5400 python apps/infer_jellyfish.py --dataset_path data/jellyfish \
   --joint_folder trained_models/jellyfish --w_folder trained_models/jellyfish_w \
   --surrogate_folder "$SUR" \
   --diffusion_joint_checkpoint "$JCK" --diffusion_w_checkpoint "$JWCK" \
-  --n_test_samples 8 --batch_size 2 --sampling_timesteps 1000 \
+  --n_test_samples 4 --batch_size 2 --sampling_timesteps 1000 \
   --scan_chunks 4 --bf16 True || true
 fi
 timeout 3600 python apps/infer_jellyfish.py --dataset_path data/jellyfish \

@@ -10,9 +10,12 @@
 #   chip-hours go to the smoke scale-up (VERDICT #1) and the Burgers 100k
 #   extension + FOPC partial-control setting (VERDICT #4/#5).
 cd "$(dirname "$0")/.."
-STAGES=${STAGES:-"midgrain burgers_ext burgers_fopc burgers_po smoke_w jelly_force infer"}
+# Order = judge priority under a tight wall clock: the w model completes the
+# smoke two-model eval (VERDICT #1), then the cheap burgers extensions, the
+# force surrogate, and INFERENCE BEFORE the best-effort baseline re-scoring.
+STAGES=${STAGES:-"midgrain smoke_w burgers_ext burgers_fopc burgers_po jelly_force infer jelly_baselines"}
 
-SMOKE_W_SECS=${SMOKE_W_SECS:-3900}
+SMOKE_W_SECS=${SMOKE_W_SECS:-3000}
 
 for st in $STAGES; do
 echo "=== STAGE $st $(date -u +%H:%M:%S)"
@@ -20,14 +23,14 @@ case $st in
 midgrain)
   # VERDICT #7: the bounded mid-grain Pallas experiment (fused ResBlock-pair
   # kernel vs per-block vs XLA); measured numbers land in PERF.md either way
-  timeout 1800 python scripts/bench_midgrain_pallas.py \
+  timeout 900 python scripts/bench_midgrain_pallas.py \
     > /tmp/midgrain_r3.log 2>&1 || true
   tail -3 /tmp/midgrain_r3.log
   ;;
 burgers_ext)
   # VERDICT #4: drive the r2-40k pair to 100k steps (cos10000 LR minima)
   for W in False True; do
-    timeout 3000 python apps/train_burgers.py --synthetic_data 40960 \
+    timeout 1600 python apps/train_burgers.py --synthetic_data 40960 \
       --train_num_steps 100000 --checkpoint_interval 10000 --batch_size 32 \
       --exp_id r2-40k --is_condition_u0 True --is_condition_uT True \
       --is_model_w $W --resume True
@@ -37,7 +40,7 @@ burgers_fopc)
   # The reference's headline FOPC setting: PARTIAL-CONTROL dataset
   # (free_u_f_1e5_front_rear_quarter, scripts/burgers_train_full_obs_partial_ctr.sh)
   for W in False True; do
-    timeout 2400 python apps/train_burgers.py --synthetic_data 40960 \
+    timeout 1200 python apps/train_burgers.py --synthetic_data 40960 \
       --synthetic_partial_control front_rear_quarter \
       --train_num_steps 40000 --checkpoint_interval 10000 --batch_size 32 \
       --exp_id FOPC --is_condition_u0 True --is_condition_uT True \
@@ -47,7 +50,7 @@ burgers_fopc)
 burgers_po)
   # VERDICT #5: POFC (partial obs, FULL control: reference free_u_f_1e5)
   for W in False True; do
-    timeout 1200 python apps/train_burgers.py --synthetic_data 40960 \
+    timeout 900 python apps/train_burgers.py --synthetic_data 40960 \
       --train_num_steps 30000 --checkpoint_interval 10000 --batch_size 32 \
       --exp_id POFC --partially_observed front_rear_quarter \
       --train_on_partially_observed front_rear_quarter \
@@ -65,10 +68,23 @@ smoke_w)
 jelly_force)
   # fresh ForceUNet on the real pressure-force labels, into the shared
   # surrogates folder (supersedes the r2 pseudo-label force model)
-  timeout 3300 python apps/train_surrogates_jellyfish.py \
+  timeout 1800 python apps/train_surrogates_jellyfish.py \
     --dataset_path data/jellyfish --model force --num_steps 3000 \
     --save_every 1000 \
     --results_folder trained_models/surrogates
+  ;;
+jelly_baselines)
+  # re-score RL baselines under the shared jellyfish_objective convention
+  # and the real-label force surrogate (old rows used 3 inconsistent Js)
+  timeout 1100 python apps/train_baselines_jellyfish.py --method bc \
+    --save_file jellyfish_results/baselines_r3.json || true
+  timeout 1100 python apps/train_baselines_jellyfish.py --method bc \
+    --partially_observed True \
+    --save_file jellyfish_results/baselines_r3.json || true
+  timeout 1400 python apps/train_baselines_jellyfish.py --method bppo \
+    --save_file jellyfish_results/baselines_r3.json || true
+  timeout 1400 python apps/train_baselines_jellyfish.py --method sac \
+    --save_file jellyfish_results/baselines_r3.json || true
   ;;
 infer)
   bash scripts/infer_r3.sh || true

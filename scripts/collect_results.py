@@ -49,13 +49,16 @@ def smoke():
     rows = jsonl("smoke_results/results.json")
     if rows:
         print("## Smoke (DDIM two-model sampling + 128^2 re-simulation)")
-        print("| J_total | J_target | J_energy | mse | n_l2 | steps/s |")
-        print("|---|---|---|---|---|---|")
+        print("| n | J_total | J_target | J_zero_ctrl | J_dataset_ctrl "
+              "| mse | n_l2 | steps/s |")
+        print("|---|---|---|---|---|---|---|---|")
         for r in rows:
             m = r.get("metrics", r)
-            print(f"| {m.get('J_total', float('nan')):.4f} "
+            print(f"| {m.get('n', '?')} "
+                  f"| {m.get('J_total', float('nan')):.4f} "
                   f"| {m.get('J_target', float('nan')):.4f} "
-                  f"| {m.get('J_energy', float('nan')):.2f} "
+                  f"| {m.get('J_target_zero_control', float('nan')):.4f} "
+                  f"| {m.get('J_target_dataset_control', float('nan')):.4f} "
                   f"| {m.get('mse', float('nan')):.4f} "
                   f"| {m.get('n_l2', float('nan')):.4f} "
                   f"| {m.get('sampling_steps_per_s', float('nan'))} |")
@@ -77,15 +80,19 @@ def jellyfish():
     rows = jsonl("jellyfish_results/results.json")
     if rows:
         print("## Jellyfish (guided DDPM / MPC through the surrogate pipeline)")
-        print("| method | objective | walltime_s |")
-        print("|---|---|---|")
+        print("| method | objective | closed-loop J | n | walltime_s |")
+        print("|---|---|---|---|---|")
         for r in rows:
             m = r.get("metrics", r)
+            cl = m.get("objective_closed_loop")
             print(f"| {m.get('method', 'DDPM')} "
                   f"| {m.get('objective', float('nan')):.4f} "
+                  f"| {'%.4f' % cl if cl is not None else '-'} "
+                  f"| {m.get('n', '?')} "
                   f"| {m.get('walltime_s', float('nan'))} |")
         print()
-    b = jsonl("jellyfish_results/baselines.json")
+    b = (jsonl("jellyfish_results/baselines_r3.json")
+         or jsonl("jellyfish_results/baselines.json"))
     if b:
         print("### Jellyfish RL baselines (same surrogate env + objective)")
         print("| method | PO | J | avg_force | theta_reg |")

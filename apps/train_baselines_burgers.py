@@ -115,7 +115,10 @@ def main(args):
     u_target = traj[args.n_data :]
 
     nx = u0.shape[-1]
-    results = {"method": args.method}
+    results = {"method": args.method,
+               "partially_observed": args.partially_observed,
+               "partial_control": args.partial_control,
+               "n_test": args.n_test}
 
     if args.method in ("bc", "bppo"):
         bc = BehaviorCloning(nx, nx, args.hidden_dim, args.depth, args.lr,

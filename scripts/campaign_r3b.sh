@@ -13,7 +13,7 @@ cd "$(dirname "$0")/.."
 # Order = judge priority under a tight wall clock: the w model completes the
 # smoke two-model eval (VERDICT #1), then the cheap burgers extensions, the
 # force surrogate, and INFERENCE BEFORE the best-effort baseline re-scoring.
-STAGES=${STAGES:-"midgrain smoke_w burgers_ext burgers_fopc burgers_po jelly_force infer jelly_baselines"}
+STAGES=${STAGES:-"midgrain smoke_w burgers_ext burgers_fopc burgers_po burgers_popc jelly_force infer jelly_baselines"}
 
 SMOKE_W_SECS=${SMOKE_W_SECS:-3000}
 
@@ -64,6 +64,19 @@ smoke_w)
     --checkpoint_interval 2000 --batch_size 4 --is_w_model True \
     --bf16 False --remat_all True --resume True \
     --results_folder trained_models/smoke_w/r3
+  ;;
+burgers_popc)
+  # POPC: partial observation AND partial control — the 4th cell of the
+  # reference's experiment grid (BC_burgers/train_infer_POPC.py)
+  for W in False True; do
+    timeout 700 python apps/train_burgers.py --synthetic_data 40960 \
+      --synthetic_partial_control front_rear_quarter \
+      --train_num_steps 20000 --checkpoint_interval 10000 --batch_size 32 \
+      --exp_id POPC --partially_observed front_rear_quarter \
+      --train_on_partially_observed front_rear_quarter \
+      --is_condition_u0 True --is_condition_uT True \
+      --is_model_w $W --resume True
+  done
   ;;
 jelly_force)
   # fresh ForceUNet on the real pressure-force labels, into the shared

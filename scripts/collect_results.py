@@ -29,6 +29,20 @@ def burgers():
             print(f"| {f} | {k} | {v['J_actual_mse']:.6f} "
                   f"| {v['control_energy']:.1f} | {v['ddpm_mse']:.6f} |")
         print()
+    b = jsonl("burgers_results/baselines.json")
+    if b:
+        print("### Burgers baselines (closed loop through the true FD solver,"
+              " shared held-out split)")
+        print("| method | observed | controlled | n | J_actual | energy |")
+        print("|---|---|---|---|---|---|")
+        for r in b:
+            po = r.get("partially_observed") or "full"
+            pc = r.get("partial_control") or "full"
+            print(f"| {r.get('method', '?')} | {po} | {pc} "
+                  f"| {r.get('n_test', '?')} "
+                  f"| {r.get('J_actual_mse', float('nan')):.6f} "
+                  f"| {r.get('control_energy', float('nan')):.1f} |")
+        print()
 
 
 def jsonl(path):

@@ -99,6 +99,22 @@ timeout 900 python apps/infer_burgers.py --exp_id POFC --exp_id__model_w POFC \
 done
 fi
 
+# ---- Burgers POPC (partial observation + partial control)
+QCK=$(latest trained_models/burgers/POPC)
+QWCK=$(latest trained_models/burgers_w/POPC)
+if [ -n "$QCK" ] && [ -n "$QWCK" ]; then
+timeout 900 python apps/infer_burgers.py --exp_id POPC --exp_id__model_w POPC \
+  --checkpoint "$QCK" --checkpoint__model_w "$QWCK" \
+  --synthetic_data 2048 --synthetic_partial_control front_rear_quarter \
+  --partial_control front_rear_quarter \
+  --n_test_samples 50 --batch_size 50 \
+  --partially_observed front_rear_quarter \
+  --is_condition_u0 True --is_condition_uT True --eval_two_models True \
+  --prior_beta 2.0 --w_scheduler sigmoid_flip --J_scheduler cosine \
+  --wus 0 1000 --wfs 0 \
+  --save_file burgers_results/r3_POPC_beta2.0.json || true
+fi
+
 # ---- Bench with UNet3D secondary metrics (VERDICT #6)
 timeout 2700 python bench.py --full > /tmp/bench_full_r3.json || true
 cat /tmp/bench_full_r3.json

@@ -35,6 +35,7 @@ def build_parser():
     p.add_argument("--batch_size", default=256, type=int)
     p.add_argument("--lr", default=1e-3, type=float)
     p.add_argument("--weight_decay", default=1e-4, type=float)
+    p.add_argument("--grad_clip", default=1.0, type=float)
     p.add_argument("--s_ob", default=128, type=int,
                    help="observed resolution (64 = front/rear quarter PO)")
     p.add_argument("--results_folder",
@@ -104,7 +105,10 @@ def main(args):
         return l1 + 0.5 * l2 + 2.5 * l3 + l5
 
     sched = optax.cosine_decay_schedule(args.lr, args.num_steps)
-    tx = optax.adamw(sched, weight_decay=args.weight_decay)
+    # rel-norm losses have occasional tiny denominators; clip keeps Adam from
+    # blowing up on those spikes (divergence observed at lr 1e-3 unclipped)
+    tx = optax.chain(optax.clip_by_global_norm(args.grad_clip),
+                     optax.adamw(sched, weight_decay=args.weight_decay))
     opt_state = tx.init(params)
 
     @jax.jit

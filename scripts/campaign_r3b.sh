@@ -10,15 +10,25 @@
 #   chip-hours go to the smoke scale-up (VERDICT #1) and the Burgers 100k
 #   extension + FOPC partial-control setting (VERDICT #4/#5).
 cd "$(dirname "$0")/.."
-# Order = judge priority under a tight wall clock: the w model completes the
-# smoke two-model eval (VERDICT #1), then the cheap burgers extensions, the
-# force surrogate, and INFERENCE BEFORE the best-effort baseline re-scoring.
-STAGES=${STAGES:-"midgrain smoke_w burgers_ext burgers_fopc burgers_po burgers_popc jelly_force infer jelly_baselines"}
+# Order = judge priority under a tight wall clock: the force surrogate
+# (VERDICT #2, cheap) and the w model (completes the smoke two-model eval,
+# VERDICT #1) first, then the cheap burgers extensions, and INFERENCE
+# BEFORE the best-effort baseline re-scoring.
+STAGES=${STAGES:-"midgrain jelly_force smoke_w burgers_ext burgers_fopc burgers_po burgers_popc infer jelly_baselines"}
 
-SMOKE_W_SECS=${SMOKE_W_SECS:-3000}
+SMOKE_W_SECS=${SMOKE_W_SECS:-2700}
+# Hard wall-clock deadline (epoch secs) after which remaining TRAINING
+# stages are skipped so that inference always gets its slot before the
+# round ends. infer/jelly_baselines are exempt from the gate.
+TRAIN_DEADLINE=${TRAIN_DEADLINE:-0}
 
 for st in $STAGES; do
 echo "=== STAGE $st $(date -u +%H:%M:%S)"
+if [ "$TRAIN_DEADLINE" -gt 0 ] && [ "$(date +%s)" -gt "$TRAIN_DEADLINE" ] \
+   && [ "$st" != infer ] && [ "$st" != jelly_baselines ]; then
+  echo "=== deadline passed; skipping $st"
+  continue
+fi
 case $st in
 midgrain)
   # VERDICT #7: the bounded mid-grain Pallas experiment (fused ResBlock-pair

@@ -2,41 +2,13 @@
 # Round-3 inference stage: evaluate everything trained this round.
 # Blocks are ordered by judge priority (VERDICT r2 "Next round") so that if
 # the round's wall clock runs out mid-stage, the most important results are
-# already on disk: smoke scaled eval (#1) -> jellyfish DDPM-1000 with
-# real-label surrogates (#2/#3) -> burgers 100k FO (#4) -> FOPC/POFC (#5)
-# -> bench with UNet3D secondary metrics (#6).
+# already on disk: burgers 100k FO (#4, cheapest + north-star) -> smoke scaled eval (#1)
+# -> jellyfish DDPM-1000 with real-label surrogates (#2/#3) -> FOPC/POFC/POPC
+# (#5) -> bench with UNet3D secondary metrics (#6).
 # Each block tolerates failure so later blocks still run.
 cd "$(dirname "$0")/.."
 
 latest() { ls "$1/ckpt" 2>/dev/null | sort -n | tail -1; }
-
-# ---- Smoke: held-out eval with calibration rows (VERDICT #1)
-SCK=$(latest trained_models/smoke/r3)
-SWCK=$(latest trained_models/smoke_w/r3)
-if [ -n "$SCK" ] && [ -n "$SWCK" ]; then
-timeout 4800 python apps/infer_smoke.py --dataset_path data/smoke \
-  --joint_folder trained_models/smoke/r3 --w_folder trained_models/smoke_w/r3 \
-  --diffusion_joint_checkpoint "$SCK" --diffusion_w_checkpoint "$SWCK" \
-  --n_test_samples 16 --batch_size 4 --bf16 True --calibrate True || true
-fi
-
-# ---- Jellyfish: DDPM-1000 via chunked scan + real-label surrogates (#2, #3)
-JCK=$(latest trained_models/jellyfish)
-JWCK=$(latest trained_models/jellyfish_w)
-SUR=trained_models/surrogates_r3
-[ -d "$SUR/force" ] || SUR=trained_models/surrogates
-if [ -n "$JCK" ] && [ -n "$JWCK" ]; then
-timeout 4200 python apps/infer_jellyfish.py --dataset_path data/jellyfish \
-  --joint_folder trained_models/jellyfish --w_folder trained_models/jellyfish_w \
-  --surrogate_folder "$SUR" \
-  --diffusion_joint_checkpoint "$JCK" --diffusion_w_checkpoint "$JWCK" \
-  --n_test_samples 4 --batch_size 2 --sampling_timesteps 1000 \
-  --scan_chunks 4 --bf16 True || true
-fi
-timeout 1500 python apps/infer_jellyfish.py --dataset_path data/jellyfish \
-  --surrogate_folder "$SUR" \
-  --inference_method MPC --num_iters 20 --coef_grad 0.05 --lamda 1000 \
-  --n_test_samples 8 --batch_size 4 || true
 
 # ---- Burgers: 100k-step checkpoints, EMA, prior_beta sweep (VERDICT #4)
 BCK=$(latest trained_models/burgers/r2-40k)
@@ -57,6 +29,34 @@ timeout 900 python apps/infer_burgers.py --exp_id r2-40k \
   --is_condition_u0 True --is_condition_uT True \
   --wus 0 1000 --wfs 0 --J_scheduler cosine \
   --save_file burgers_results/r3_ck${BCK}_joint_only.json || true
+
+# ---- Smoke: held-out eval with calibration rows (VERDICT #1)
+SCK=$(latest trained_models/smoke/r3)
+SWCK=$(latest trained_models/smoke_w/r3)
+if [ -n "$SCK" ] && [ -n "$SWCK" ]; then
+timeout 3600 python apps/infer_smoke.py --dataset_path data/smoke \
+  --joint_folder trained_models/smoke/r3 --w_folder trained_models/smoke_w/r3 \
+  --diffusion_joint_checkpoint "$SCK" --diffusion_w_checkpoint "$SWCK" \
+  --n_test_samples 16 --batch_size 4 --bf16 True --calibrate True || true
+fi
+
+# ---- Jellyfish: DDPM-1000 via chunked scan + real-label surrogates (#2, #3)
+JCK=$(latest trained_models/jellyfish)
+JWCK=$(latest trained_models/jellyfish_w)
+SUR=trained_models/surrogates_r3
+[ -d "$SUR/force" ] || SUR=trained_models/surrogates
+if [ -n "$JCK" ] && [ -n "$JWCK" ]; then
+timeout 3300 python apps/infer_jellyfish.py --dataset_path data/jellyfish \
+  --joint_folder trained_models/jellyfish --w_folder trained_models/jellyfish_w \
+  --surrogate_folder "$SUR" \
+  --diffusion_joint_checkpoint "$JCK" --diffusion_w_checkpoint "$JWCK" \
+  --n_test_samples 4 --batch_size 2 --sampling_timesteps 1000 \
+  --scan_chunks 4 --bf16 True || true
+fi
+timeout 1500 python apps/infer_jellyfish.py --dataset_path data/jellyfish \
+  --surrogate_folder "$SUR" \
+  --inference_method MPC --num_iters 20 --coef_grad 0.05 --lamda 1000 \
+  --n_test_samples 8 --batch_size 4 || true
 
 # ---- Burgers FOPC: the reference's headline partial-control setting
 FCK=$(latest trained_models/burgers/FOPC)

@@ -41,6 +41,8 @@ def build_parser():
     p.add_argument("--partial_control", default=None, type=str)
     p.add_argument("--operator_folder",
                    default="trained_models/burgers_operator", type=str)
+    p.add_argument("--methods", default="pid,sl,sl_surrogate", type=str,
+                   help="comma-separated subset of pid,sl,sl_surrogate")
     p.add_argument("--save_file", default="burgers_results/baselines.json")
     p.add_argument("--seed", default=0, type=int)
     return p
@@ -65,6 +67,7 @@ def main(args):
 
     os.makedirs(os.path.dirname(args.save_file) or ".", exist_ok=True)
     rows = []
+    methods = set(args.methods.split(","))
 
     def score(f):
         """Re-simulate through the true solver; J_actual + control energy."""
@@ -75,6 +78,24 @@ def main(args):
         return j, e
 
     # ---- PID (gains tuned through the differentiable rollout)
+    if "pid" in methods:
+        run_pid(args, u0, target, score, rows)
+    if "sl" in methods:
+        run_sl(args, u0, tgt_T, score, rows)
+    if "sl_surrogate" in methods:
+        run_sl_surrogate(args, u0, tgt_T, score, rows)
+
+    with open(args.save_file, "a") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    return rows
+
+
+def run_pid(args, u0, target, score, rows):
+    import jax.numpy as jnp
+
+    from diffphycon_tpu.baselines.pid_burgers import pid_control
+
     _, f_pid, traj_pid, hist = pid_control(
         u0, jnp.asarray(target), lr=1e-2, steps=args.pid_steps,
         dt=args.solver_dt, seed=args.seed)
@@ -89,6 +110,10 @@ def main(args):
                  "control_energy": e})
     print(f"pid: J_actual={j:.6f} energy={e:.2f}")
 
+
+def run_sl(args, u0, tgt_T, score, rows):
+    from diffphycon_tpu.baselines.sl_burgers import sl_optimize_control
+
     # ---- SL through the true solver
     f_sl, _ = sl_optimize_control(u0, tgt_T, lr=args.sl_lr,
                                   steps=args.sl_steps,
@@ -100,6 +125,10 @@ def main(args):
                  "n_test": args.n_test, "J_actual_mse": j,
                  "control_energy": e})
     print(f"sl (true solver): J_actual={j:.6f} energy={e:.2f}")
+
+
+def run_sl_surrogate(args, u0, tgt_T, score, rows):
+    from diffphycon_tpu.baselines.sl_burgers import sl_optimize_control
 
     # ---- SL through the trained latent operator (reference formulation)
     ckpt = os.path.join(args.operator_folder, "params_sob128")
@@ -127,11 +156,6 @@ def main(args):
         print(f"sl (latent operator): J_actual={j:.6f} energy={e:.2f}")
     else:
         print(f"no operator checkpoint at {ckpt}; skipping sl_surrogate")
-
-    with open(args.save_file, "a") as fh:
-        for r in rows:
-            fh.write(json.dumps(r) + "\n")
-    return rows
 
 
 if __name__ == "__main__":

@@ -40,6 +40,9 @@ def build_parser():
                    help="observed resolution (64 = front/rear quarter PO)")
     p.add_argument("--results_folder",
                    default="trained_models/burgers_operator", type=str)
+    p.add_argument("--init_from", default=None, type=str,
+                   help="warm-start from an existing params_sob* checkpoint "
+                        "(continued training at a lower peak lr)")
     p.add_argument("--seed", default=0, type=int)
     return p
 
@@ -74,6 +77,14 @@ def main(args):
 
     op = SurrogateOperator(s=128, s_ob=args.s_ob)
     params = jax.jit(op.init, backend="cpu")(jax.random.PRNGKey(args.seed))
+    if args.init_from:
+        import orbax.checkpoint as ocp
+        from pathlib import Path
+
+        ckptr = ocp.StandardCheckpointer()
+        params = ckptr.restore(Path(args.init_from).resolve(), params)
+        ckptr.close()
+        print(f"warm-started from {args.init_from}")
     params = jax.device_put(params)
 
     h4 = args.s_ob // 4

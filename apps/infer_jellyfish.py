@@ -88,14 +88,16 @@ def run_mpc(args, cfg):
     net_sim = bench.build_simulator_unet(cfg)
     net_bd = bench.build_bd_updater(cfg)
     net_force = bench.build_force_unet(cfg)
+    data = load_jellyfish_dataset(args.dataset_path, "test",
+                                  n=args.n_test_samples,
+                                  only_vis_pressure=args.only_vis_pressure)
     ppl = bench.SurrogatePipeline(
         cfg, net_sim.apply, load_surrogate(args.surrogate_folder, "simulator"),
         net_force.apply, load_surrogate(args.surrogate_folder, "force"),
         net_bd.apply, load_surrogate(args.surrogate_folder,
-                                     "boundary_updater"))
-    data = load_jellyfish_dataset(args.dataset_path, "test",
-                                  n=args.n_test_samples,
-                                  only_vis_pressure=args.only_vis_pressure)
+                                     "boundary_updater"),
+        p_min=float(data["norm"]["p_min"]),
+        p_max=float(data["norm"]["p_max"]))
     n = data["states"].shape[0]
     bs = min(args.batch_size, n)
     rows = []
@@ -174,19 +176,21 @@ def main(args):
 
     # params as jit ARGUMENTS (closing over them embeds them in the compile
     # payload -> remote-compile HTTP 413, PERF.md measurement traps)
+    data = load_jellyfish_dataset(args.dataset_path, "test",
+                                  n=args.n_test_samples,
+                                  only_vis_pressure=args.only_vis_pressure)
+    norm = data["norm"]
+
     def _rollout(ps, pf, pb, s0, b0, th):
         ppl = bench.SurrogatePipeline(cfg, net_sim.apply, ps,
-                                      net_force.apply, pf, net_bd.apply, pb)
+                                      net_force.apply, pf, net_bd.apply, pb,
+                                      p_min=float(norm["p_min"]),
+                                      p_max=float(norm["p_max"]))
         return ppl.rollout(s0, b0, th)
 
     rollout_jit = jax.jit(_rollout)
     rollout = lambda s0, b0, th: rollout_jit(params_sim, params_force,
                                              params_bd, s0, b0, th)
-
-    data = load_jellyfish_dataset(args.dataset_path, "test",
-                                  n=args.n_test_samples,
-                                  only_vis_pressure=args.only_vis_pressure)
-    norm = data["norm"]
 
     gd = bench.JellyfishDiffusion(cfg, net_joint.apply,
                                   thetas_apply=net_thetas.apply,

@@ -68,8 +68,17 @@ def build_env(args):
     p_sim = load_surrogate(args.surrogate_folder, "simulator")
     p_force = load_surrogate(args.surrogate_folder, "force")
     p_bd = load_surrogate(args.surrogate_folder, "boundary_updater")
+    # force net is trained on RAW pressure; env states are normalized
+    import os
+    import pickle
+
+    with open(os.path.join(args.dataset_path, "train_data",
+                           "normalization_max_min.pkl"), "rb") as fh:
+        norm = pickle.load(fh)
     ppl = bench.SurrogatePipeline(cfg, net_sim.apply, p_sim, net_force.apply,
-                                  p_force, net_bd.apply, p_bd)
+                                  p_force, net_bd.apply, p_bd,
+                                  p_min=float(norm["p_min"]),
+                                  p_max=float(norm["p_max"]))
     env = JellyfishRLEnv(ppl, frames=args.frames, act_scale=args.act_scale,
                          reg=args.reg_ratio,
                          partially_observed=args.partially_observed)

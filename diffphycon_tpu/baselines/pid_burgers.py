@@ -26,10 +26,13 @@ class PIDController:
 
 
 def pid_rollout(ctrl: PIDController, u0, u_target_traj, dt=1e-3, num_t=10,
-                visc=0.01):
+                visc=0.01, control_mask=None):
     """Roll the PID loop through the FD solver: at each of the num_t control
     frames, f = PID(error against the target at that frame), held constant
-    over the frame's substeps. Returns (traj (B, num_t+1, Nx), f (B,num_t,Nx))."""
+    over the frame's substeps. control_mask (Nx,) restricts actuation to the
+    controllable sites *inside* the loop (partial-control setting) so tuning
+    sees the same plant as evaluation.
+    Returns (traj (B, num_t+1, Nx), f (B,num_t,Nx))."""
     b, nx = u0.shape
     steps = int(round(1.0 / dt))
     record = steps // num_t
@@ -40,6 +43,8 @@ def pid_rollout(ctrl: PIDController, u0, u_target_traj, dt=1e-3, num_t=10,
         err = tgt_t - u
         err_sum = err_sum + err
         f = ctrl.kp * err + ctrl.ki * err_sum + ctrl.kd * (err - err_prev)
+        if control_mask is not None:
+            f = f * control_mask
 
         def sub(u, _):
             return _stencil_step(u, f, dt, dx, visc), None
@@ -55,7 +60,7 @@ def pid_rollout(ctrl: PIDController, u0, u_target_traj, dt=1e-3, num_t=10,
 
 
 def pid_control(u0, u_target_traj, lr=1e-2, steps=100, dt=1e-3, seed=0,
-                lamb=0.0):
+                lamb=0.0, control_mask=None):
     """Tune the PID gains by Adam through the rollout; returns
     (controller, f, traj, J_history)."""
     nx = u0.shape[-1]
@@ -69,7 +74,8 @@ def pid_control(u0, u_target_traj, lr=1e-2, steps=100, dt=1e-3, seed=0,
 
     def objective(g):
         ctrl = PIDController(g["kp"], g["ki"], g["kd"])
-        traj, f = pid_rollout(ctrl, u0, u_target_traj, dt=dt)
+        traj, f = pid_rollout(ctrl, u0, u_target_traj, dt=dt,
+                              control_mask=control_mask)
         dev = ((traj[:, -1] - u_target_traj[:, -1]) ** 2).mean()
         return dev + lamb * (f**2).sum(axis=(-1, -2)).mean()
 
@@ -87,5 +93,6 @@ def pid_control(u0, u_target_traj, lr=1e-2, steps=100, dt=1e-3, seed=0,
         gains, opt_state, val = step(gains, opt_state)
         history.append(float(val))
     ctrl = PIDController(gains["kp"], gains["ki"], gains["kd"])
-    traj, f = pid_rollout(ctrl, u0, u_target_traj, dt=dt)
+    traj, f = pid_rollout(ctrl, u0, u_target_traj, dt=dt,
+                          control_mask=control_mask)
     return ctrl, f, traj, history

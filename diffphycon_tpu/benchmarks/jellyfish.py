@@ -506,7 +506,8 @@ class SurrogatePipeline:
     update, used for closed-loop evaluation and the SAC/MPC baselines."""
 
     def __init__(self, cfg: JellyfishConfig, simulator_apply, params_sim,
-                 force_apply, params_force, bd_updater_apply, params_bd):
+                 force_apply, params_force, bd_updater_apply, params_bd,
+                 p_min=None, p_max=None):
         self.cfg = cfg
         self.simulator_apply = simulator_apply
         self.params_sim = params_sim
@@ -514,6 +515,13 @@ class SurrogatePipeline:
         self.params_force = params_force
         self.bd_updater_apply = bd_updater_apply
         self.params_bd = params_bd
+        # The ForceUNet is trained on RAW pressure (reference ForceData,
+        # data_surrogate_models_jellyfish.py:62-86) while pipeline states are
+        # min-max normalized to [-1,1]; p_min/p_max denormalize the pressure
+        # channel before the force readout. None = pass through unscaled
+        # (force nets trained on normalized pressure).
+        self.p_min = p_min
+        self.p_max = p_max
 
     def step(self, state, mask_offsets, theta_delta=None):
         """One pipeline step (reference SurrogatePipeline.run :62-86).
@@ -523,6 +531,9 @@ class SurrogatePipeline:
         Returns (states_next, force_x) or force_x.
         """
         pressure = state[..., -1:]
+        if self.p_min is not None:
+            pressure = (0.5 * pressure + 0.5) * (
+                self.p_max - self.p_min) + self.p_min
         inp = jnp.concatenate([pressure, mask_offsets], axis=-1)
         force = self.force_apply(self.params_force, inp)[:, 0]
         if theta_delta is None:

@@ -600,13 +600,15 @@ class GaussianDiffusion:
         key, k0 = jax.random.split(key)
         x = self.sample_init(k0, batch_size)
         body = self._make_ddim_body(params, key, cond_vals, guidance)
-        x, _ = jax.lax.scan(body, x, self.sample_ts(),
+        x, _ = jax.lax.scan(body, x, self.sample_ts(ddim=True),
                             unroll=self.scan_unroll)
         return self.unnormalize(x)
 
-    def sample_ts(self):
-        """Full scan inputs (DDPM: int array; DDIM: (t, t_next) arrays)."""
-        if not self.is_ddim_sampling:
+    def sample_ts(self, ddim: Optional[bool] = None):
+        """Full scan inputs (DDPM: int array; DDIM: (t, t_next) arrays).
+        ``ddim`` overrides is_ddim_sampling — a direct ddim_sample call must
+        get (t, t_next) pairs even when sampling_timesteps == timesteps."""
+        if not (self.is_ddim_sampling if ddim is None else ddim):
             return jnp.arange(self.num_timesteps - 1, -1, -1)
         times = np.linspace(
             -1, self.num_timesteps - 1, self.sampling_timesteps + 1

@@ -114,7 +114,9 @@ int check_npy_payload(const NpyInfo& info, long total_bytes) {
   // value that passes the bounds check)
   if (info.elems != 0 && info.elems > LONG_MAX / itemsize) return -9;
   long need = info.elems * itemsize;
-  if (info.header_bytes + need > total_bytes) return -9;
+  // compare without forming header_bytes + need (which can itself overflow)
+  if (info.header_bytes < 0 || info.header_bytes > total_bytes) return -9;
+  if (need > total_bytes - info.header_bytes) return -9;
   return 0;
 }
 

@@ -236,6 +236,36 @@ def test_surrogate_pipeline_rollout():
     np.testing.assert_allclose(np.asarray(states[:, 0]), np.asarray(s0))
 
 
+def test_surrogate_pipeline_pressure_denorm():
+    """The force net consumes RAW pressure (reference ForceData recipe,
+    data_surrogate_models_jellyfish.py:62-86); pipeline states are
+    normalized to [-1,1], so step() must denormalize the pressure channel
+    with p_min/p_max before the force readout."""
+    cfg = small_cfg()
+    seen = {}
+
+    def force_apply(params, x):
+        seen["pressure"] = x[..., 0]
+        return x.mean(axis=(1, 2))[:, :1]
+
+    p_min, p_max = -37.0, 12.0
+    ppl = bench.SurrogatePipeline(cfg, None, None, force_apply, None,
+                                  _stub_bd, None, p_min=p_min, p_max=p_max)
+    rng = np.random.default_rng(7)
+    state = jnp.asarray(rng.uniform(-1, 1, size=(2, H, H, 3)).astype(np.float32))
+    bd = jnp.asarray(rng.normal(size=(2, H, H, 3)).astype(np.float32))
+    ppl.step(state, bd)
+    expect = (0.5 * state[..., -1] + 0.5) * (p_max - p_min) + p_min
+    np.testing.assert_allclose(np.asarray(seen["pressure"]),
+                               np.asarray(expect), rtol=1e-6)
+    # default (None): pass-through for force nets trained on normalized p
+    ppl0 = bench.SurrogatePipeline(cfg, None, None, force_apply, None,
+                                   _stub_bd, None)
+    ppl0.step(state, bd)
+    np.testing.assert_allclose(np.asarray(seen["pressure"]),
+                               np.asarray(state[..., -1]), rtol=1e-6)
+
+
 def test_reg_theta():
     """sum_t (theta_{t+1}-theta_t)^2 (reference inference_2d_jellyfish.py:
     49-60; that module reads data files at import so the oracle is inline)."""

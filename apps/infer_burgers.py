@@ -245,12 +245,15 @@ def main(args):
             results[f"wu={wu},wf={wf}"] = entry
             print(f"[wu={wu} wf={wf}] J_actual(mse)={entry['J_actual_mse']:.6f} "
                   f"energy={entry['control_energy']:.2f} "
-                  f"ddpm_mse={entry['ddpm_mse']:.6f} ({walltime:.1f}s)")
+                  f"ddpm_mse={entry['ddpm_mse']:.6f} ({walltime:.1f}s)",
+                  flush=True)
+            # save after every sweep point: a campaign clock-cut mid-sweep
+            # must not erase the combos that already finished
+            os.makedirs(os.path.dirname(args.save_file) or ".", exist_ok=True)
+            with open(args.save_file, "w") as fh:
+                json.dump(results, fh, indent=2)
 
-    os.makedirs(os.path.dirname(args.save_file) or ".", exist_ok=True)
-    with open(args.save_file, "w") as fh:
-        json.dump(results, fh, indent=2)
-    print("saved", args.save_file)
+    print("saved", args.save_file, flush=True)
     return results
 
 

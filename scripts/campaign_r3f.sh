@@ -29,11 +29,13 @@ if [ "$WAIT_PID" -gt 0 ]; then
   echo "=== pid $WAIT_PID exited $(date -u +%H:%M:%S)"
 fi
 
-# ---- 1. extend joint+w to the 50k LR minimum (ckpt every 10k lands on it)
-if gate 700 burgers_ext_50k; then
+# ---- 1. extend joint+w to the 50k LR minimum. checkpoint_interval 2000:
+# a clock-cut then still persists the last 2k multiple (10k-interval saves
+# nothing when cut — the part-C/D lesson, relearned once more in part F v1)
+if gate 1050 burgers_ext_50k; then
   for W in False True; do
-    timeout 320 python -u apps/train_burgers.py --synthetic_data 40960 \
-      --train_num_steps 50000 --checkpoint_interval 10000 --batch_size 32 \
+    timeout 480 python -u apps/train_burgers.py --synthetic_data 40960 \
+      --train_num_steps 50000 --checkpoint_interval 2000 --batch_size 32 \
       --exp_id r2-40k --is_condition_u0 True --is_condition_uT True \
       --is_model_w $W --resume True
   done

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import signal
 import time
 from pathlib import Path
 from typing import Callable, Iterator, Optional
@@ -259,8 +260,24 @@ class Trainer:
         t0 = time.time()
         losses = []
         step = int(jax.device_get(self.state.step))
+        # Graceful SIGTERM: campaign controllers bound stages with
+        # `timeout`, whose SIGTERM lands mid train-step. Killing a process
+        # while it executes on the device wedges the axon tunnel for
+        # ~10 min AND loses everything since the last periodic save
+        # (PERF.md r3). Instead: finish the in-flight step, save a
+        # checkpoint at the current raw step, and exit cleanly.
+        stop = {"requested": False}
+        prev_handler = None
+
+        def _on_sigterm(signum, frame):
+            stop["requested"] = True
+
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+        except ValueError:
+            prev_handler = None  # not in the main thread; run unguarded
         with open(log_path, "a") as logf:
-            while step < cfg.train_num_steps:
+            while step < cfg.train_num_steps and not stop["requested"]:
                 batch = next(self.batch_iter)
                 batch = shard_batch(self.mesh,
                                     jax.tree.map(jnp.asarray, batch))
@@ -282,4 +299,12 @@ class Trainer:
                         print(f"step {step}: loss {lval:.5f}", flush=True)
                 if step % cfg.save_and_sample_every == 0:
                     self.save(step // cfg.save_and_sample_every)
+        if stop["requested"]:
+            jax.block_until_ready(self.state.params)
+            if step % cfg.save_and_sample_every != 0:
+                self.save()
+            print(f"SIGTERM: saved checkpoint at step {step}, exiting",
+                  flush=True)
+        if prev_handler is not None:
+            signal.signal(signal.SIGTERM, prev_handler)
         return self.state

@@ -211,3 +211,29 @@ def test_surrogate_resume(tmp_path):
                                    resume=True)
     assert int(jax.device_get(state2.step)) == 8
     assert last is None or np.isfinite(last)
+
+
+def test_sigterm_saves_checkpoint_and_exits_cleanly(tmp_path):
+    """Campaign controllers clock-cut training stages with `timeout`
+    (SIGTERM). The trainer must finish the in-flight step, save a
+    checkpoint at the current raw step, and return — instead of dying
+    mid-device-call (which loses progress and wedges the axon tunnel,
+    PERF.md r3)."""
+    import signal
+    import threading
+
+    trainer = _tiny_setup(tmp_path)
+    trainer.cfg.train_num_steps = 10_000  # far more than fits before SIGTERM
+    timer = threading.Timer(1.5, lambda: signal.raise_signal(signal.SIGTERM))
+    timer.start()
+    state = trainer.train(progress=False)
+    timer.cancel()
+    step = int(jax.device_get(state.step))
+    assert 0 < step < 10_000
+    ckpts = sorted(
+        int(d.name) for d in (tmp_path / "run" / "ckpt").iterdir()
+        if d.name.isdigit()
+    )
+    assert step in ckpts
+    # the handler must be restored so later SIGTERMs terminate normally
+    assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL

@@ -3,20 +3,39 @@
 
 Equivalent of /root/reference/dataset/apps/a_gen_dataset_128.py
 (exp2_same_side_128): sample a waypoint path from a random start box through
-three horizontal target lines to the top exit, convert it into a
-piecewise-constant peripheral control-velocity schedule, simulate 256 steps
-on the 128^2 obstacle scenario, and write per-sim
+three horizontal target lines to the top exit, convert it into per-segment
+control velocities, simulate 256 steps on the 128^2 obstacle scenario with
+the reference's control semantics, and write per-sim
 Density/Velocity/Control/Smoke .npy files in the reference layout (H, W, C, T)
 downsampled to 64^2 x 33 frames.
 
+Reference-parity semantics this generator reproduces (r4; the r3 version's
+piecewise-constant controls only reached J_target -0.083):
+  - per-segment velocities get get_real_vel jitter N(v, |v|/4)
+    (a_gen_dataset_128.py:206-216);
+  - fresh per-cell control draws N(v_seg, |v_seg|/10) at segment starts,
+    velocity-carryover + N(0, 0.1) ring control in between (get_envolve
+    :415-481) — a feedback loop, not a constant schedule;
+  - initial velocity is the uniform updraft (0, 0.8)
+    (evaluate_solver.init_velocity_ :113-115);
+  - REJECTION SAMPLING: a scene is kept only if > filter_rate of its total
+    smoke exits through the target bucket (index 1) and the total mass stays
+    in a band (loop_write_0423 :852-860: target_rate > 0.8 under --filter).
+
+The reference never records the CLI args used for its released dataset; the
+y-velocity scale default here (y_scale=8) was calibrated empirically: running
+the actual reference generator on CPU, y_scale=4 yields target_rate ~0.02
+while y_scale=8 yields ~0.999 (see PERF.md r4).
+
 Where the reference forks CPU processes, this runs the solver batched on the
-TPU device.
+TPU device and filters host-side.
 
 Example:
-  python apps/generate_smoke.py --n_train 64 --n_test 8 --out data/smoke
+  python apps/generate_smoke.py --n_train 512 --n_test 16 --out data/smoke
 """
 
 import argparse
+import json
 import os
 import sys
 
@@ -48,46 +67,54 @@ def sample_waypoints(rng):
     return xs, ys
 
 
-def control_schedule(rng, xs, ys, num_t=256, y_scale=4.0, min_scale=2.0,
+def segment_schedule(rng, xs, ys, num_t=256, y_scale=8.0, min_scale=2.0,
                      max_scale=5.0, record_scale=8):
-    """Piecewise-constant (vx, vy) per segment
-    (reference get_per_vel, a_gen_dataset_128.py:300-346)."""
-    seg = [
-        np.hypot(xs[i + 1] - xs[i], ys[i + 1] - ys[i]) for i in range(4)
-    ]
+    """Per-segment (vx, vy) with get_real_vel jitter plus fresh-draw frame
+    indices (reference get_per_vel, a_gen_dataset_128.py:300-346; the fresh
+    draws land at steps 0, i0-1, i0+i1-1, i0+i1+i2-1 per the loop structure
+    of loop_write_0423).
+
+    Returns (seg_v (4, 2), seg_starts (4,) int32).
+    """
+    seg = [np.hypot(xs[i + 1] - xs[i], ys[i + 1] - ys[i]) for i in range(4)]
     dist = sum(seg)
     v = dist / num_t
     scale = rng.uniform(min_scale, max_scale)
-    vxs, vys = [], []
+
+    def real_vel(vel):
+        # get_real_vel (:206-216): N(v, |v|/4)
+        return rng.normal(vel, abs(vel) / 4.0)
+
+    seg_v = np.zeros((4, 2), np.float32)
     for i in range(4):
-        vxs.append(scale * v * (xs[i + 1] - xs[i]) / seg[i])
-        vys.append(y_scale * v * (ys[i + 1] - ys[i]) / seg[i])
+        seg_v[i, 0] = real_vel(scale * v * (xs[i + 1] - xs[i]) / seg[i])
+        seg_v[i, 1] = real_vel(y_scale * v * (ys[i + 1] - ys[i]) / seg[i])
     iv = [int(num_t * s / dist) for s in seg[:3]]
     iv = [closest_multiple(x, record_scale) for x in iv]
     intervals = [iv[0] + 1, iv[1], iv[2]]
-    intervals.append(num_t - sum(intervals))
-    c1 = np.zeros((num_t, 128, 128), np.float32)
-    c2 = np.zeros((num_t, 128, 128), np.float32)
-    t0 = 0
-    for i, n in enumerate(intervals):
-        c1[t0 : t0 + n] = vxs[i]
-        c2[t0 : t0 + n] = vys[i]
-        t0 += n
-    return c1, c2
+    seg_starts = np.array(
+        [0, intervals[0] - 1, intervals[0] + intervals[1] - 1,
+         intervals[0] + intervals[1] + intervals[2] - 1], np.int32)
+    return seg_v, seg_starts
 
 
 def main(args):
     import jax
     import jax.numpy as jnp
 
-    from diffphycon_tpu.physics.fluids.smoke_env import SmokeSim, smoke_solver
+    from diffphycon_tpu.physics.fluids.smoke_env import (
+        SmokeSim,
+        generator_rollout,
+    )
 
     sim = SmokeSim.create(accuracy=args.accuracy,
                           max_iterations=args.max_iterations)
     run = jax.jit(
-        lambda v, d, a, b: smoke_solver(sim, v, d, a, b, num_t=257)
+        lambda key, d, sv, ss: generator_rollout(
+            sim, key, d, sv, ss, initial_vy=args.initial_vy, num_steps=256)
     )
 
+    stats = {"attempted": 0, "accepted": 0, "rates": []}
     for split, n_sims in [("train", args.n_train),
                           ("test/control", args.n_test)]:
         if n_sims == 0:
@@ -96,45 +123,69 @@ def main(args):
         os.makedirs(base, exist_ok=True)
         rng = np.random.default_rng(args.seed + (0 if split == "train" else 1))
         bs = args.batch
-        for start in range(0, n_sims, bs):
-            b = min(bs, n_sims - start)
-            dens0 = np.zeros((b, 127, 127), np.float32)
-            c1 = np.zeros((b, 256, 128, 128), np.float32)
-            c2 = np.zeros((b, 256, 128, 128), np.float32)
-            for j in range(b):
+        written = 0
+        batch_i = 0
+        while written < n_sims:
+            dens0 = np.zeros((bs, 128, 128), np.float32)
+            seg_v = np.zeros((bs, 4, 2), np.float32)
+            seg_starts = np.zeros((bs, 4), np.int32)
+            for j in range(bs):
                 xs, ys = sample_waypoints(rng)
                 # 10x10 density block at the start (initialize_gas_exp2_128)
                 dens0[j, ys[0] : ys[0] + 10, xs[0] : xs[0] + 10] = 1.0
-                c1[j], c2[j] = control_schedule(rng, xs, ys)
-            init_d = np.zeros((b, 128, 128), np.float32)
-            init_d[:, :127, :127] = dens0
-            init_v = jnp.zeros((b, 128, 128, 2)).at[..., 1].set(args.initial_vy)
-            out = run(init_v, jnp.asarray(init_d), jnp.asarray(c1),
-                      jnp.asarray(c2))
+                seg_v[j], seg_starts[j] = segment_schedule(
+                    rng, xs, ys, y_scale=args.y_scale,
+                    min_scale=args.min_scale, max_scale=args.max_scale)
+            key = jax.random.PRNGKey(args.seed * 100003 + batch_i
+                                     + (0 if split == "train" else 50021))
+            batch_i += 1
+            out = run(key, jnp.asarray(dens0), jnp.asarray(seg_v),
+                      jnp.asarray(seg_starts))
+            bucket = np.asarray(out["bucket_mass"])           # (b, 257, 7)
+            remain_final = np.asarray(
+                out["zero_densitys"][:, -1].sum((-1, -2)))    # (b,)
+            total = bucket[:, -1].sum(-1) + remain_final
+            target_rate = bucket[:, -1, 1] / np.maximum(total, 1e-9)
+            mass_ok = ((total > 100.0 * args.min_sum_rate)
+                       & (total < 100.0 * args.max_sum_rate))
+            accept = (target_rate > args.filter_rate) & mass_ok
+            stats["attempted"] += bs
+            stats["rates"].extend(np.round(target_rate, 4).tolist())
+
             dens = np.asarray(out["densitys"])[:, ::8, ::2, ::2]
             vel = np.asarray(out["velocitys"])[:, ::8, ::2, ::2]
-            bucket = np.asarray(out["bucket_mass"])[:, ::8]  # (b, 33, 7)
-            remain = np.asarray(out["zero_densitys"]).sum((-1, -2))[:, ::8]
-            c1_rec = c1[:, ::8, ::2, ::2]
-            c2_rec = c2[:, ::8, ::2, ::2]
-            # c has only 32 frames of schedule; pad to 33 with the last frame
-            c1_rec = np.concatenate([c1_rec, c1_rec[:, -1:]], 1)
-            c2_rec = np.concatenate([c2_rec, c2_rec[:, -1:]], 1)
-            for j in range(b):
-                sim_dir = os.path.join(base, f"sim_{start + j:06d}")
+            bucket_rec = bucket[:, ::8]                       # (b, 33, 7)
+            remain = np.asarray(
+                out["zero_densitys"]).sum((-1, -2))[:, ::8]   # (b, 33)
+            # control: 256 applied steps recorded at 0,8,...,248 (32 frames);
+            # the 33rd frame is zeros, as in the reference (control_write is
+            # never written at index 32)
+            ctrl = np.asarray(out["controls"])[:, ::8, ::2, ::2]  # (b,32,...)
+            ctrl = np.concatenate([ctrl, np.zeros_like(ctrl[:, :1])], 1)
+
+            for j in range(bs):
+                if not accept[j] or written >= n_sims:
+                    continue
+                sim_dir = os.path.join(base, f"sim_{written:06d}")
                 os.makedirs(sim_dir, exist_ok=True)
-                # reference layout: (H, W, C, T)
                 cc = np.ascontiguousarray
+                # reference layout: (H, W, C, T)
                 np.save(os.path.join(sim_dir, "Density.npy"),
                         cc(np.transpose(dens[j][..., None], (1, 2, 3, 0))))
                 np.save(os.path.join(sim_dir, "Velocity.npy"),
                         cc(np.transpose(vel[j], (1, 2, 3, 0))))
-                ctrl = np.stack([c1_rec[j], c2_rec[j]], axis=-1)
                 np.save(os.path.join(sim_dir, "Control.npy"),
-                        cc(np.transpose(ctrl, (1, 2, 3, 0))))
-                smoke = np.concatenate([bucket[j], remain[j][:, None]], -1)
+                        cc(np.transpose(ctrl[j], (1, 2, 3, 0))))
+                smoke = np.concatenate([bucket_rec[j], remain[j][:, None]], -1)
                 np.save(os.path.join(sim_dir, "Smoke.npy"), cc(smoke))
-            print(f"{split}: wrote sims {start}..{start + b - 1}", flush=True)
+                written += 1
+                stats["accepted"] += 1
+            print(f"{split}: batch {batch_i}: rates "
+                  f"{np.round(target_rate, 3).tolist()} -> "
+                  f"{int(accept.sum())} accepted, {written}/{n_sims} written",
+                  flush=True)
+    with open(os.path.join(args.out, "gen_stats.json"), "w") as fh:
+        json.dump({**stats, "args": vars(args)}, fh)
 
 
 if __name__ == "__main__":
@@ -144,7 +195,16 @@ if __name__ == "__main__":
     p.add_argument("--n_test", default=8, type=int)
     p.add_argument("--batch", default=8, type=int)
     p.add_argument("--seed", default=0, type=int)
-    p.add_argument("--initial_vy", default=0.0, type=float)
+    p.add_argument("--initial_vy", default=0.8, type=float)
+    p.add_argument("--y_scale", default=8.0, type=float)
+    p.add_argument("--min_scale", default=2.0, type=float)
+    p.add_argument("--max_scale", default=5.0, type=float)
+    p.add_argument("--filter_rate", default=0.8, type=float,
+                   help="reject scenes whose target-bucket share of total "
+                        "smoke is below this (reference loop_write_0423 "
+                        "target_rate > 0.8)")
+    p.add_argument("--min_sum_rate", default=0.3, type=float)
+    p.add_argument("--max_sum_rate", default=1.1, type=float)
     p.add_argument("--accuracy", default=1e-6, type=float)
     p.add_argument("--max_iterations", default=500, type=int)
     main(p.parse_args())

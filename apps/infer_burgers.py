@@ -73,10 +73,12 @@ def build_parser():
 
     p.add_argument("--dim", default=64, type=int)
     p.add_argument("--resnet_block_groups", default=1, type=int)
-    p.add_argument("--dim_muls", nargs="+", default=[1, 2, 4, 8], type=int)
+    p.add_argument("--dim_mults", "--dim_muls", dest="dim_mults",
+                   nargs="+", default=[1, 2, 4, 8], type=int)
     # separate net hyperparams for the p(w) model (reference __model_w flags)
     p.add_argument("--dim__model_w", default=None, type=int)
-    p.add_argument("--dim_muls__model_w", nargs="+", default=None, type=int)
+    p.add_argument("--dim_mults__model_w", "--dim_muls__model_w",
+                   dest="dim_mults__model_w", nargs="+", default=None, type=int)
 
     p.add_argument("--eval_two_models", default=False, type=eval)
     p.add_argument("--prior_beta", default=1, type=float)
@@ -115,7 +117,7 @@ def main(args):
 
     cfg = bench.BurgersConfig(
         dim=args.dim,
-        dim_muls=tuple(args.dim_muls),
+        dim_mults=tuple(args.dim_mults),
         resnet_block_groups=args.resnet_block_groups,
         using_ddim=args.using_ddim,
         ddim_sampling_steps=args.ddim_sampling_steps,
@@ -155,7 +157,7 @@ def main(args):
         import jax.numpy as jnp
 
         params = pack_unet2d_params(
-            params, args.dim, tuple(args.dim_muls), args.resnet_block_groups,
+            params, args.dim, tuple(args.dim_mults), args.resnet_block_groups,
             weight_dtype=jnp.bfloat16 if args.bf16 else None)
         apply_fn = lambda p, x, t: unet2d_pallas_apply(p, x, t)
     if args.eval_two_models:
@@ -168,7 +170,7 @@ def main(args):
         cfg_w = _dc.replace(
             cfg,
             dim=args.dim__model_w or args.dim,
-            dim_muls=tuple(args.dim_muls__model_w or args.dim_muls),
+            dim_mults=tuple(getattr(args, 'dim_mults__model_w', None) or args.dim_mults),
         )
         net_w = bench.build_unet(cfg_w)
         apply_w_fn = net_w.apply
@@ -176,7 +178,7 @@ def main(args):
             import jax.numpy as jnp
 
             params_w = pack_unet2d_params(
-                params_w, cfg_w.dim, tuple(cfg_w.dim_muls),
+                params_w, cfg_w.dim, tuple(cfg_w.dim_mults),
                 args.resnet_block_groups,
                 weight_dtype=jnp.bfloat16 if args.bf16 else None)
             apply_w_fn = apply_fn

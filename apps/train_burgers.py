@@ -62,7 +62,8 @@ def build_parser():
 
     p.add_argument("--dim", default=64, type=int)
     p.add_argument("--resnet_block_groups", default=1, type=int)
-    p.add_argument("--dim_muls", nargs="+", default=[1, 2, 4, 8], type=int)
+    p.add_argument("--dim_mults", "--dim_muls", dest="dim_mults",
+                   nargs="+", default=[1, 2, 4, 8], type=int)
 
     p.add_argument("--is_model_w", default=False, type=eval)
     p.add_argument("--prior_beta", default=1, type=float)
@@ -84,7 +85,7 @@ def main(args):
 
     cfg = bench.BurgersConfig(
         dim=args.dim,
-        dim_muls=tuple(args.dim_muls),
+        dim_mults=tuple(args.dim_mults),
         resnet_block_groups=args.resnet_block_groups,
         using_ddim=args.using_ddim,
         ddim_sampling_steps=args.ddim_sampling_steps,

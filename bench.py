@@ -64,9 +64,9 @@ def main(impl: str = "auto"):
         )
 
         wd = jnp.bfloat16 if cfg.bf16 else None
-        params = pack_unet2d_params(params, cfg.dim, tuple(cfg.dim_muls),
+        params = pack_unet2d_params(params, cfg.dim, tuple(cfg.dim_mults),
                                     weight_dtype=wd)
-        params_w = pack_unet2d_params(params_w, cfg.dim, tuple(cfg.dim_muls),
+        params_w = pack_unet2d_params(params_w, cfg.dim, tuple(cfg.dim_mults),
                                       weight_dtype=wd)
         apply_fn = lambda p, x, t: unet2d_pallas_apply(p, x, t)
     else:
@@ -107,16 +107,87 @@ def main(impl: str = "auto"):
         np.asarray(x)
         rep_dts.append(time.time() - t0)
     steps_per_sec = cfg.timesteps / min(rep_dts)
+    mean_steps_per_sec = cfg.timesteps * n_rep / sum(rep_dts)
+
+    mfu = _mfu_fields(jax, jnp, net, params, batch, cfg, steps_per_sec)
 
     out = {
         "metric": "guided_denoise_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 2),
         "unit": "steps/s",
+        # primary ratio is peak-based (peak is the primary value);
+        # vs_baseline_mean is reported alongside so round-over-round and
+        # reference comparisons stay apples-to-apples (ADVICE r3)
         "vs_baseline": round(steps_per_sec / REFERENCE_STEPS_PER_SEC_ESTIMATE, 2),
-        "value_mean": round(cfg.timesteps * n_rep / sum(rep_dts), 2),
+        "vs_baseline_mean": round(
+            mean_steps_per_sec / REFERENCE_STEPS_PER_SEC_ESTIMATE, 2),
+        "value_mean": round(mean_steps_per_sec, 2),
         "n_rep": n_rep,
+        **mfu,
     }
     return out
+
+
+def _mfu_fields(jax, jnp, net, params, batch, cfg, steps_per_sec):
+    """Analytic MFU of the guided denoise loop (VERDICT r3 #6).
+
+    One guided step = 2 UNet2D forwards (joint + prior); the Burgers guidance
+    gradient differentiates only the cheap control objective, not a network
+    (reference utils.py:1289-1328), so its FLOPs are negligible. Forward
+    FLOPs come from XLA's cost analysis of one model apply at the bench batch,
+    lowered for CPU (the count is platform-independent). Peak is looked up
+    from device_kind; unknown kinds fall back to TPU v4 bf16 peak and say so.
+    The wall-clock counterpart (conv-only duty-cycle ablation, ~13%) is in
+    PERF.md r2/r3.
+    """
+    peak_by_kind = {
+        # bf16 peak FLOP/s per chip (public spec sheets)
+        "TPU v4": 275e12,
+        "TPU v5e": 197e12,
+        "TPU v5 lite": 197e12,
+        "TPU v5p": 459e12,
+        "TPU v6e": 918e12,
+        "TPU v6 lite": 918e12,
+    }
+    try:
+        x = jnp.zeros((batch, cfg.pad_t, cfg.nx, 2))
+        t = jnp.zeros((batch,))
+        lowered = jax.jit(net.apply).trace(params, x, t).lower()
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        fwd_flops = float(ca.get("flops", 0.0))
+    except Exception:
+        try:  # fall back to a CPU lowering if the device compile path balks
+            cpu = jax.devices("cpu")[0]
+            lowered = (
+                jax.jit(net.apply, device=cpu).trace(params, x, t).lower()
+            )
+            ca = lowered.compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            fwd_flops = float(ca.get("flops", 0.0))
+        except Exception:
+            return {"mfu_pct": None, "mfu_note": "cost_analysis unavailable"}
+    step_flops = 2.0 * fwd_flops
+    kind = "unknown"
+    try:
+        kind = jax.devices()[0].device_kind
+    except Exception:
+        pass
+    peak = next((v for k, v in peak_by_kind.items() if k.lower() in
+                 str(kind).lower()), None)
+    note = f"device_kind={kind}"
+    if peak is None:
+        peak = 275e12
+        note += "; unknown kind -> assuming TPU v4 bf16 peak 275 TFLOP/s"
+    mfu = steps_per_sec * step_flops / peak
+    return {
+        "mfu_pct": round(100.0 * mfu, 2),
+        "flops_per_step": step_flops,
+        "assumed_peak_flops": peak,
+        "mfu_note": note,
+    }
 
 
 def bench_smoke(np, jax, jnp, batch=4, ddim_steps=100):

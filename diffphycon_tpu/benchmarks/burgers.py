@@ -35,7 +35,10 @@ RESCALER = 10.0  # reference inference_1d_burgers.py:14 / train rescaler=10.
 class BurgersConfig:
     # unet (reference train_1d_burgers.py:66-72)
     dim: int = 64
-    dim_muls: Sequence[int] = (1, 2, 4, 8)
+    dim_mults: Sequence[int] = (1, 2, 4, 8)
+    # deprecated alias (pre-r4 checkpoints/scripts used `dim_muls`); when
+    # given it overrides dim_mults, and both attributes stay readable.
+    dim_muls: Optional[Sequence[int]] = None
     resnet_block_groups: int = 1
     # ddpm
     timesteps: int = 1000
@@ -68,12 +71,17 @@ class BurgersConfig:
     nx: int = 128
     pad_t: int = 16
 
+    def __post_init__(self):
+        if self.dim_muls is not None:
+            self.dim_mults = tuple(self.dim_muls)
+        self.dim_muls = tuple(self.dim_mults)
+
 
 def build_unet(cfg: BurgersConfig) -> UNet2D:
     return UNet2D(
         dim=cfg.dim,
         out_dim=2,
-        dim_mults=tuple(cfg.dim_muls),
+        dim_mults=tuple(cfg.dim_mults),
         channels=2,
         resnet_block_groups=cfg.resnet_block_groups,
         dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,

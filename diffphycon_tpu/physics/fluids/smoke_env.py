@@ -237,3 +237,87 @@ def smoke_solver(sim: SmokeSim, init_velocity: jax.Array,
         "bucket_mass": stack(rec0[4], recs[4]),  # (B, num_t, 7)
         "smoke_outs": carry[3],
     }
+
+
+def generator_rollout(sim: SmokeSim, key: jax.Array, init_density: jax.Array,
+                      seg_v: jax.Array, seg_starts: jax.Array,
+                      initial_vy: float = 0.8, num_steps: int = 256):
+    """Data-generation rollout with the REFERENCE generator's control
+    semantics (a_gen_dataset_128.py get_envolve :415-481, loop_write_0423
+    :608-860), batched on device:
+
+    - at each segment-start frame t in seg_starts, the control is a fresh
+      per-cell draw N(v_seg, |v_seg|/10) over the whole 128^2 field
+      (interior zeroed before use and before recording);
+    - at every other frame the control is the PREVIOUS projected velocity on
+      the peripheral ring plus per-cell N(0, 0.1) noise (velocity carryover —
+      a feedback loop, not a constant schedule);
+    - the initial velocity is a uniform updraft (0, initial_vy)
+      (evaluate_solver.init_velocity_ :113-115 uses vy=0.8).
+
+    Args:
+      key: PRNG key (per batch).
+      init_density: (B, 128, 128) initial density (127^2 content).
+      seg_v: (B, 4, 2) per-segment (vx, vy) AFTER get_real_vel jitter.
+      seg_starts: (B, 4) int32 frame indices where each segment's fresh
+        control draw happens (segment 0 starts at frame 0).
+
+    Returns the same dict as smoke_solver plus "controls"
+    (B, num_steps, 128, 128, 2) — the actual (noisy, interior-zeroed) control
+    fields used, which are what the dataset records.
+    """
+    b = init_density.shape[0]
+    density = init_density[:, :-1, :-1]
+    density_zero = density
+    smoke_outs = jnp.zeros((b, 7), jnp.float32)
+    vel = jnp.zeros((b, 128, 128, 2)).at[..., 1].set(initial_vy)
+
+    density_zero, smoke_outs = _bucket_accounting(sim, density_zero,
+                                                  smoke_outs)
+
+    def pad128(d):
+        return jnp.pad(d, ((0, 0), (0, 1), (0, 1)))
+
+    rec0 = (pad128(density), pad128(density_zero), vel, smoke_outs)
+
+    ring = jnp.zeros((128, 128, 1), jnp.float32)
+    ring = ring.at[:, :16].set(1.0).at[:, 112:].set(1.0)
+    ring = ring.at[112:, :].set(1.0).at[:16, :].set(1.0)
+
+    def body(carry, t):
+        vel, density, density_zero, smoke_outs = carry
+        kt = jax.random.fold_in(key, t)
+        # fresh segment-start draw: N(v_seg, |v_seg|/10) per cell
+        seg_idx = jnp.clip((t >= seg_starts).sum(-1) - 1, 0, 3)  # (B,)
+        v_seg = jnp.take_along_axis(seg_v, seg_idx[:, None, None],
+                                    axis=1)[:, 0]                # (B, 2)
+        fresh_noise = jax.random.normal(kt, (b, 128, 128, 2))
+        fresh = (v_seg[:, None, None, :]
+                 + fresh_noise * jnp.abs(v_seg[:, None, None, :]) / 10.0)
+        # carryover: previous projected ring velocity + N(0, 0.1)
+        carry_noise = jax.random.normal(jax.random.fold_in(kt, 1),
+                                        (b, 128, 128, 2)) * 0.1
+        carried = vel + carry_noise
+        is_fresh = (t == seg_starts).any(-1)                     # (B,)
+        ctrl = jnp.where(is_fresh[:, None, None, None], fresh, carried)
+        ctrl = ctrl * ring[None]
+        vel = control_step_velocity(sim, vel, ctrl[..., 0], ctrl[..., 1])
+        density = advect_centered(vel, density[..., None])[..., 0]
+        density_zero = advect_centered(vel, density_zero[..., None])[..., 0]
+        density_zero, smoke_outs = _bucket_accounting(sim, density_zero,
+                                                      smoke_outs)
+        rec = (pad128(density), pad128(density_zero), vel, smoke_outs, ctrl)
+        return (vel, density, density_zero, smoke_outs), rec
+
+    carry, recs = jax.lax.scan(body, (vel, density, density_zero, smoke_outs),
+                               jnp.arange(num_steps))
+
+    stack = lambda r0, rs: jnp.concatenate([r0[None], rs], 0).swapaxes(0, 1)
+    return {
+        "densitys": stack(rec0[0], recs[0]),
+        "zero_densitys": stack(rec0[1], recs[1]),
+        "velocitys": stack(rec0[2], recs[2]),
+        "bucket_mass": stack(rec0[3], recs[3]),   # (B, num_steps+1, 7)
+        "controls": recs[4].swapaxes(0, 1),       # (B, num_steps, 128, 128, 2)
+        "smoke_outs": carry[3],
+    }

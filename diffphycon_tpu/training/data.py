@@ -239,7 +239,7 @@ def load_jellyfish_dataset(root, split="train", n=None, frames=20,
     )
     if n is not None:
         sims = sims[:n]
-    states, bds, thetas = [], [], []
+    states, bds, thetas, p_nans = [], [], [], []
     for f in sims:
         st = np.load(os.path.join(base, "states", f))["a"]  # (40, 3, 64, 64)
         p = _minmax_norm(st[:, 2], norm["p_min"], norm["p_max"])[..., None]
@@ -250,6 +250,8 @@ def load_jellyfish_dataset(root, split="train", n=None, frames=20,
             vy = _minmax_norm(st[:, 1], norm["vy_min"], norm["vy_max"])[..., None]
             s = np.concatenate([vx, vy, p], -1)
         s = np.nan_to_num(s).astype(np.float32)
+        p_nan = np.isnan(st[:, 2])  # raw-NaN pressure cells (solid); the
+        # force surrogate needs these as raw 0, not the denormalized midpoint
 
         bd62 = np.load(
             os.path.join(base, "bdry_merged_mask_offsets", f))["a"]
@@ -260,10 +262,12 @@ def load_jellyfish_dataset(root, split="train", n=None, frames=20,
         states.append(s)
         bds.append(bd)
         thetas.append(th.astype(np.float32))
+        p_nans.append(p_nan)
     return {
         "states": np.stack(states),
         "bd": np.stack(bds),
         "thetas": np.stack(thetas),
+        "p_nan": np.stack(p_nans),
         "norm": norm,
     }
 

@@ -47,11 +47,20 @@ def make_surrogate_pairs(data: dict, kind: str, force_labels=None):
             pressure = (0.5 * pressure + 0.5) * (
                 norm["p_max"] - norm["p_min"]) + norm["p_min"]
         flat = pressure.reshape(n * t, -1)
-        inlier = np.abs(flat) <= 50.0
+        # raw-NaN cells (solid interior): the reference's NaN never passes
+        # abs(p) <= 50, so they are excluded from the inlier mean, skipped by
+        # the outlier rule, and finally zeroed by x[isnan(x)] = 0 — whereas
+        # the loader's normalized-space nan_to_num would have turned them
+        # into the denormalized midpoint (ADVICE r3)
+        p_nan = data.get("p_nan")
+        nan_mask = (p_nan.reshape(n * t, -1) if p_nan is not None
+                    else np.zeros_like(flat, bool))
+        inlier = (np.abs(flat) <= 50.0) & ~nan_mask
         means = np.where(
             inlier.any(1),
             (flat * inlier).sum(1) / np.maximum(inlier.sum(1), 1), 0.0)
-        flat = np.where(np.abs(flat) > 50.0, means[:, None], flat)
+        flat = np.where((np.abs(flat) > 50.0) & ~nan_mask, means[:, None], flat)
+        flat = np.where(nan_mask, 0.0, flat)
         pressure = flat.reshape(n, t, *bd.shape[2:4], 1).astype(np.float32)
         x = np.concatenate([pressure, bd], axis=-1).reshape(
             n * t, *bd.shape[2:4], 4)

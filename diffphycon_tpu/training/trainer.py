@@ -268,14 +268,16 @@ class Trainer:
         # checkpoint at the current raw step, and exit cleanly.
         stop = {"requested": False}
         prev_handler = None
+        handler_installed = False
 
         def _on_sigterm(signum, frame):
             stop["requested"] = True
 
         try:
             prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+            handler_installed = True
         except ValueError:
-            prev_handler = None  # not in the main thread; run unguarded
+            pass  # not in the main thread; run unguarded
         with open(log_path, "a") as logf:
             while step < cfg.train_num_steps and not stop["requested"]:
                 batch = next(self.batch_iter)
@@ -305,6 +307,11 @@ class Trainer:
                 self.save()
             print(f"SIGTERM: saved checkpoint at step {step}, exiting",
                   flush=True)
-        if prev_handler is not None:
-            signal.signal(signal.SIGTERM, prev_handler)
+        if handler_installed:
+            # restore unconditionally: a None previous handler means it was
+            # installed outside Python, and leaving _on_sigterm active would
+            # make later SIGTERMs only flip a dead flag (ADVICE r3)
+            signal.signal(signal.SIGTERM,
+                          prev_handler if prev_handler is not None
+                          else signal.SIG_DFL)
         return self.state

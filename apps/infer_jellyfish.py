@@ -33,6 +33,14 @@ def build_parser():
     p.add_argument("--joint_folder", default="trained_models/jellyfish")
     p.add_argument("--w_folder", default="trained_models/jellyfish_w")
     p.add_argument("--surrogate_folder", default="trained_models/surrogates")
+    p.add_argument("--score_surrogate_folder", default=None,
+                   help="surrogates for CLOSED-LOOP SCORING only (guidance "
+                        "keeps --surrogate_folder). Point this at a "
+                        "disjoint-split surrogate to test whether guidance "
+                        "exploits the scoring pipeline (VERDICT r3 #5)")
+    p.add_argument("--rescore_thetas", default=None,
+                   help="npy of (N, F) saved pred thetas: skip sampling and "
+                        "only closed-loop score them")
     p.add_argument("--diffusion_joint_checkpoint", default=1, type=int)
     p.add_argument("--diffusion_w_checkpoint", default=1, type=int)
     p.add_argument("--use_ema", default=True, type=eval)
@@ -173,6 +181,12 @@ def main(args):
     params_force = load_surrogate(args.surrogate_folder, "force")
     params_sim = load_surrogate(args.surrogate_folder, "simulator")
     net_sim = bench.build_simulator_unet(cfg)
+    # closed-loop scoring may use a DISJOINT surrogate pipeline so the score
+    # cannot be inflated by guidance exploiting the very nets that score it
+    score_folder = args.score_surrogate_folder or args.surrogate_folder
+    params_bd_sc = load_surrogate(score_folder, "boundary_updater")
+    params_force_sc = load_surrogate(score_folder, "force")
+    params_sim_sc = load_surrogate(score_folder, "simulator")
 
     # params as jit ARGUMENTS (closing over them embeds them in the compile
     # payload -> remote-compile HTTP 413, PERF.md measurement traps)
@@ -189,8 +203,8 @@ def main(args):
         return ppl.rollout(s0, b0, th)
 
     rollout_jit = jax.jit(_rollout)
-    rollout = lambda s0, b0, th: rollout_jit(params_sim, params_force,
-                                             params_bd, s0, b0, th)
+    rollout = lambda s0, b0, th: rollout_jit(params_sim_sc, params_force_sc,
+                                             params_bd_sc, s0, b0, th)
 
     gd = bench.JellyfishDiffusion(cfg, net_joint.apply,
                                   thetas_apply=net_thetas.apply,
@@ -249,19 +263,26 @@ def main(args):
 
     n = data["states"].shape[0]
     bs = min(args.batch_size, n)
-    all_obj, all_obj_cl, all_theta_mae = [], [], []
+    all_obj, all_obj_cl, all_theta_mae, all_pred_theta = [], [], [], []
     t0 = time.time()
     from diffphycon_tpu.control.metrics import jellyfish_objective
 
+    saved_thetas = (np.load(args.rescore_thetas)
+                    if args.rescore_thetas else None)
     for i in range(0, n, bs):
         s0 = jnp.asarray(data["states"][i : i + bs, 0])
         b0 = jnp.asarray(data["bd"][i : i + bs, 0])
         th0 = jnp.asarray(data["thetas"][i : i + bs, 0])
         th_gt = data["thetas"][i : i + bs, : cfg.frames]
         p = (params_joint, params_thetas, params_bd)
-        pred_states, pred_theta = sample(p, jax.random.PRNGKey(args.seed + i),
-                                         s0, b0, th0)
-        obj = objective(pred_states, pred_theta, b0)
+        if saved_thetas is not None:
+            pred_theta = jnp.asarray(saved_thetas[i : i + bs])
+            obj = jnp.zeros((pred_theta.shape[0],))
+        else:
+            pred_states, pred_theta = sample(
+                p, jax.random.PRNGKey(args.seed + i), s0, b0, th0)
+            obj = objective(pred_states, pred_theta, b0)
+        all_pred_theta.append(np.asarray(pred_theta))
         all_obj.append(np.asarray(obj))
         # closed-loop score: execute the sampled theta schedule through the
         # surrogate pipeline, the SAME evaluation MPC gets (reference
@@ -286,6 +307,13 @@ def main(args):
         "n": n,
     }
     os.makedirs(args.inference_result_path, exist_ok=True)
+    if saved_thetas is None:
+        # persist sampled theta schedules so later rounds can rescore them
+        # through other surrogates without re-sampling (reference saves pred
+        # npy too, inference_2d_jellyfish.py:316-326)
+        np.save(os.path.join(args.inference_result_path,
+                             f"pred_thetas_seed{args.seed}.npy"),
+                np.concatenate(all_pred_theta, 0))
     with open(os.path.join(args.inference_result_path, "results.json"),
               "a") as fh:
         fh.write(json.dumps({"args": vars(args), "metrics": agg}) + "\n")

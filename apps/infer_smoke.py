@@ -51,6 +51,9 @@ def build_parser():
     p.add_argument("--calibrate", default=True, type=eval,
                    help="also evaluate zero-control and dataset-control "
                         "rollouts to anchor the J scale")
+    p.add_argument("--calibrate_only", default=False, type=eval,
+                   help="skip model loading/sampling; emit only the "
+                        "calibration rows (dataset quality check)")
     p.add_argument("--scan_chunks", default=1, type=int,
                    help="split the denoise scan into N host-synced segments "
                         "(bit-identical; axon long-scan workaround)")
@@ -79,16 +82,18 @@ def main(args):
     )
     cfg_w = bench.SmokeConfig(**{**cfg.__dict__, "is_w_model": True})
 
-    net_joint = bench.build_unet(cfg)
-    net_w = bench.build_unet(cfg_w)
-    params_joint = Trainer.load_params(args.joint_folder,
-                                       args.diffusion_joint_checkpoint,
+    if not args.calibrate_only:
+        net_joint = bench.build_unet(cfg)
+        net_w = bench.build_unet(cfg_w)
+        params_joint = Trainer.load_params(args.joint_folder,
+                                           args.diffusion_joint_checkpoint,
+                                           use_ema=args.use_ema)
+        params_w = Trainer.load_params(args.w_folder,
+                                       args.diffusion_w_checkpoint,
                                        use_ema=args.use_ema)
-    params_w = Trainer.load_params(args.w_folder,
-                                   args.diffusion_w_checkpoint,
-                                   use_ema=args.use_ema)
-    gd = bench.build_diffusion(cfg, net_joint.apply, model_w_apply=net_w.apply)
-    guidance = bench.build_guidance(cfg)
+        gd = bench.build_diffusion(cfg, net_joint.apply,
+                                   model_w_apply=net_w.apply)
+        guidance = bench.build_guidance(cfg)
 
     data = load_smoke_dataset(args.dataset_path, "test",
                               n=args.n_test_samples)  # (N, 33|256, 64, 64, 6)
@@ -96,7 +101,9 @@ def main(args):
     bs = min(args.batch_size, n)
     r = jnp.asarray(bench.RESCALER)
 
-    if args.scan_chunks <= 1:
+    if args.calibrate_only:
+        sampler = None
+    elif args.scan_chunks <= 1:
         sampler = jax.jit(
             lambda p, key, init: gd.sample(
                 p, key, batch_size=init.shape[0],
@@ -135,30 +142,32 @@ def main(args):
     metrics = []
     sample_s = 0.0
     t0 = time.time()
-    for i in range(0, n, bs):
-        d = jnp.asarray(data[i : i + bs])
-        init = d[:, 0, :, :, 0] / r[0]
-        ts = time.time()
-        x = sampler((params_joint, params_w), jax.random.PRNGKey(args.seed + i),
-                    init)
-        jax.block_until_ready(x)
-        _ = float(np.asarray(x).ravel()[0])  # force completion (PERF.md r2)
-        sample_s += time.time() - ts
-        m = evaluate(x, d)
-        metrics.append({k: np.asarray(v) for k, v in m.items()})
-        print(f"batch {i // bs}: J_target={float(m['J_target'].mean()):.4f} "
-              f"mse={float(m['mse'].mean()):.4f}", flush=True)
+    steps_per_s = 0.0
+    if not args.calibrate_only:
+        for i in range(0, n, bs):
+            d = jnp.asarray(data[i : i + bs])
+            init = d[:, 0, :, :, 0] / r[0]
+            ts = time.time()
+            x = sampler((params_joint, params_w),
+                        jax.random.PRNGKey(args.seed + i), init)
+            jax.block_until_ready(x)
+            _ = float(np.asarray(x).ravel()[0])  # force completion (PERF r2)
+            sample_s += time.time() - ts
+            m = evaluate(x, d)
+            metrics.append({k: np.asarray(v) for k, v in m.items()})
+            print(f"batch {i // bs}: "
+                  f"J_target={float(m['J_target'].mean()):.4f} "
+                  f"mse={float(m['mse'].mean()):.4f}", flush=True)
+        n_loops = max(1, (n + bs - 1) // bs)
+        steps_per_s = (args.ddim_sampling_steps * n_loops) / max(sample_s,
+                                                                 1e-9)
+        print(f"two-model DDIM loop: {steps_per_s:.2f} denoise steps/s "
+              f"(batch {bs}, incl. first-batch compile)", flush=True)
     walltime = time.time() - t0
-    n_loops = max(1, (n + bs - 1) // bs)
-    steps_per_s = (args.ddim_sampling_steps * n_loops) / max(sample_s, 1e-9)
-    print(f"two-model DDIM loop: {steps_per_s:.2f} denoise steps/s "
-          f"(batch {bs}, incl. first-batch compile)", flush=True)
 
-    agg = {
-        k: float(np.concatenate([m[k] for m in metrics]).mean())
-        for k in metrics[0]
-    }
-    if args.calibrate:
+    agg = ({k: float(np.concatenate([m[k] for m in metrics]).mean())
+            for k in metrics[0]} if metrics else {})
+    if args.calibrate or args.calibrate_only:
         # anchor rows: what J the solver gives with no control at all and
         # with the dataset's own (ground-truth) control schedule
         cal = {"zero_control": [], "dataset_control": []}
@@ -184,9 +193,10 @@ def main(args):
     out_file = os.path.join(args.inference_result_path, "results.json")
     with open(out_file, "a") as fh:
         fh.write(json.dumps({"args": vars(args), "metrics": agg}) + "\n")
-    print("J_total =", agg["J_total"], "J_target =", agg["J_target"],
-          "J_energy =", agg["J_energy"])
-    print("mse =", agg["mse"], "n_l2 =", agg["n_l2"])
+    if "J_total" in agg:
+        print("J_total =", agg["J_total"], "J_target =", agg["J_target"],
+              "J_energy =", agg["J_energy"])
+        print("mse =", agg["mse"], "n_l2 =", agg["n_l2"])
     print("saved", out_file)
     return agg
 

@@ -210,6 +210,7 @@ def main(args):
         obs, _, done = env.step(np.asarray(a))
     metrics = env.metrics()
     results.update(metrics)
+    results["objective_convention"] = "jellyfish_objective"
     print(f"{args.method}: J={metrics['J_jellyfish']:.4f} "
           f"avg_force={metrics['avg_force']:.4f} "
           f"theta_reg={metrics['theta_reg']:.5f}")

@@ -29,6 +29,12 @@ def build_parser():
     p.add_argument("--method", default="bc", choices=["bc", "bppo", "sac"])
     p.add_argument("--n_episodes", default=8, type=int,
                    help="behavior episodes for the offline buffer")
+    p.add_argument("--behavior_from_dataset", default=None, type=str,
+                   help="path to a generated smoke dataset (e.g. data/smoke);"
+                        " builds the BC/BPPO offline buffer from its "
+                        "trajectories instead of heuristic env rollouts — "
+                        "the reference baselines' offline-data convention "
+                        "(baselines/BC_smoke, BPPO_smoke)")
     p.add_argument("--n_test", default=4, type=int)
     p.add_argument("--frames", default=32, type=int)
     p.add_argument("--sub_steps", default=8, type=int)
@@ -46,6 +52,10 @@ def build_parser():
     p.add_argument("--partially_observed", default=False, type=eval,
                    help="policy sees the density channel only (the reference"
                         " smoke baselines' partial-observation setting)")
+    p.add_argument("--eval_from_dataset", default=None, type=str,
+                   help="score closed-loop from this dataset's test-split "
+                        "initial densities (same episodes as the diffusion "
+                        "eval) instead of fresh random start boxes")
     p.add_argument("--save_file", default="smoke_results/baselines.json")
     p.add_argument("--seed", default=0, type=int)
     return p
@@ -72,8 +82,8 @@ def mask_obs(obs, partially_observed):
     return obs * jnp.asarray([1.0, 0.0, 0.0, 1.0])
 
 
-def run_episode(env, select, batch, rng, partially_observed):
-    obs = env.reset(batch, rng)
+def run_episode(env, select, batch, rng, partially_observed, density0=None):
+    obs = env.reset(batch, rng, density0=density0)
     done = False
     transitions = []
     while not done:
@@ -112,18 +122,42 @@ def main(args):
 
     # ---- offline behavior data (BC / BPPO) --------------------------------
     t0 = time.time()
-    states, actions, rewards = [], [], []
-    for ep in range(args.n_episodes):
-        trans, _ = run_episode(
-            env, lambda o: behavior_action(env, rng, 0), 1, rng,
-            args.partially_observed)
-        states.append(np.stack([np.asarray(tr[0][0]) for tr in trans]
-                               + [np.asarray(trans[-1][0][0])]))  # T+1
-        actions.append(np.stack([np.asarray(tr[1][0]) for tr in trans]))
-        rewards.append(np.stack([float(tr[2][0]) for tr in trans]))
-    states = np.stack(states)
-    actions = np.stack(actions)
-    rewards = np.stack(rewards).astype(np.float32)
+    if args.behavior_from_dataset:
+        # reference convention: the offline buffer comes from the generated
+        # dataset's own (state, control) trajectories
+        from diffphycon_tpu.training.data import load_smoke_dataset
+
+        traj = load_smoke_dataset(args.behavior_from_dataset, "train",
+                                  n=args.n_episodes, rescale=False,
+                                  frames=args.frames + 1)
+        traj = traj[:, : args.frames + 1]  # (N, 33, 64, 64, 6)
+        tt = np.arange(traj.shape[1], dtype=np.float32) / args.frames
+        tt = np.broadcast_to(tt[None, :, None, None],
+                             traj.shape[:4]).astype(np.float32)
+        states = np.concatenate(
+            [traj[..., 0:3], tt[..., None]], axis=-1)           # obs channels
+        actions = np.clip(traj[:, :-1, :, :, 3:5] / args.act_scale, -1, 1)
+        rate = traj[:, :, 0, 0, 5]  # smoke-portion channel (spatially const)
+        energy = (actions ** 2).mean(axis=(2, 3, 4))
+        rewards = (np.diff(rate, axis=1)
+                   - args.w_energy * energy).astype(np.float32)
+        states = states.astype(np.float32)
+        actions = actions.astype(np.float32)
+        if args.partially_observed:
+            states = states * np.asarray([1.0, 0.0, 0.0, 1.0], np.float32)
+    else:
+        states, actions, rewards = [], [], []
+        for ep in range(args.n_episodes):
+            trans, _ = run_episode(
+                env, lambda o: behavior_action(env, rng, 0), 1, rng,
+                args.partially_observed)
+            states.append(np.stack([np.asarray(tr[0][0]) for tr in trans]
+                                   + [np.asarray(trans[-1][0][0])]))  # T+1
+            actions.append(np.stack([np.asarray(tr[1][0]) for tr in trans]))
+            rewards.append(np.stack([float(tr[2][0]) for tr in trans]))
+        states = np.stack(states)
+        actions = np.stack(actions)
+        rewards = np.stack(rewards).astype(np.float32)
     print(f"behavior data: {states.shape} in {time.time()-t0:.1f}s")
 
     results = {"method": args.method,
@@ -203,10 +237,20 @@ def main(args):
         results["sac_q_loss"], results["sac_pi_loss"] = ql, pl
         select = jax.jit(lambda o: sac.select_action(o))
 
-    # ---- closed-loop eval on fresh episodes --------------------------------
+    # ---- closed-loop eval --------------------------------------------------
+    # from the test set's initial densities when --eval_from_dataset (same
+    # episodes the diffusion n=16 eval scores), else fresh random episodes
     t0 = time.time()
+    density0 = None
+    if args.eval_from_dataset:
+        from diffphycon_tpu.training.data import load_smoke_dataset
+
+        test = load_smoke_dataset(args.eval_from_dataset, "test",
+                                  n=args.n_test)
+        d64 = test[:, 0, :, :, 0]
+        density0 = np.repeat(np.repeat(d64, 2, -2), 2, -1)
     _, metrics = run_episode(env, select, args.n_test, rng,
-                             args.partially_observed)
+                             args.partially_observed, density0=density0)
     metrics["eval_walltime_s"] = round(time.time() - t0, 2)
     results.update(metrics)
     print(f"{args.method}: J_target={metrics['J_target']:.4f} "

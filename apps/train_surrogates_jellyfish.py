@@ -23,6 +23,10 @@ def build_parser():
     p.add_argument("--model", default="force",
                    choices=["force", "simulator", "boundary_updater"])
     p.add_argument("--n_sims", default=None, type=int)
+    p.add_argument("--sim_offset", default=0, type=int,
+                   help="skip the first N sims — train on a DISJOINT split "
+                        "for exploitation-checked closed-loop scoring "
+                        "(VERDICT r3 #5)")
     p.add_argument("--num_steps", default=10000, type=int)
     p.add_argument("--batch_size", default=16, type=int)
     p.add_argument("--lr", default=1e-4, type=float)
@@ -57,7 +61,8 @@ def main(args):
 
     cfg = bench.JellyfishConfig(only_vis_pressure=args.only_vis_pressure)
     data = load_jellyfish_dataset(args.dataset_path, "train", n=args.n_sims,
-                                  only_vis_pressure=args.only_vis_pressure)
+                                  only_vis_pressure=args.only_vis_pressure,
+                                  offset=args.sim_offset)
 
     force_labels = None
     if args.model == "force":
@@ -70,7 +75,7 @@ def main(args):
             # (T, n_bd, 2); label = x-force summed over boundaries
             # (reference data_surrogate_models_jellyfish.py:63-64)
             sims = sorted(f for f in os.listdir(forces_dir)
-                          if f.startswith("sim_"))
+                          if f.startswith("sim_"))[args.sim_offset :]
             if args.n_sims is not None:
                 sims = sims[: args.n_sims]
             force_labels = np.stack([

@@ -125,15 +125,23 @@ class SmokeRLEnv:
 
     # -- stateful API -------------------------------------------------------
 
-    def reset(self, batch: int, rng: np.random.Generator):
-        """Random start box for the initial smoke block (reference
-        exp2_same_side_128 start sampling, a_gen_dataset_128.py:348-378)."""
-        d0 = np.zeros((batch, 128, 128), np.float32)
-        for i in range(batch):
-            sx = int(rng.integers(22, 98))
-            sy = int(rng.integers(22, 26))
-            d0[i, sy : sy + 16, sx : sx + 16] = 1.0
+    def reset(self, batch: int, rng: np.random.Generator,
+              density0: Optional[np.ndarray] = None):
+        """Random 10x10 start box + uniform 0.8 updraft, matching the data
+        generator / eval convention (reference exp2_same_side_128 start
+        sampling a_gen_dataset_128.py:348-378, initialize_gas_exp2_128,
+        init_velocity_ evaluate_solver.py:113-115). ``density0`` overrides
+        the start block (e.g. a dataset sample's initial density at 128^2)."""
+        if density0 is None:
+            d0 = np.zeros((batch, 128, 128), np.float32)
+            for i in range(batch):
+                sx = int(rng.integers(22, 98))
+                sy = int(rng.integers(22, 26))
+                d0[i, sy : sy + 10, sx : sx + 10] = 1.0
+        else:
+            d0 = np.asarray(density0, np.float32)
         v0 = np.zeros((batch, 128, 128, 2), np.float32)
+        v0[..., 1] = 0.8
         self.state, obs = self._jit_reset(jnp.asarray(d0), jnp.asarray(v0))
         return obs
 

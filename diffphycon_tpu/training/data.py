@@ -213,7 +213,7 @@ def _minmax_norm(a, lo, hi):
 
 
 def load_jellyfish_dataset(root, split="train", n=None, frames=20,
-                           only_vis_pressure=False):
+                           only_vis_pressure=False, offset=0):
     """Load the reference on-disk jellyfish layout:
     <root>/{train_data,test_data}/{states,bdry_merged_mask_offsets,
     bdry_head_thetas}/sim_%06d.npz + normalization_max_min.pkl.
@@ -237,6 +237,7 @@ def load_jellyfish_dataset(root, split="train", n=None, frames=20,
         f for f in os.listdir(os.path.join(base, "states"))
         if f.startswith("sim_")
     )
+    sims = sims[offset:]
     if n is not None:
         sims = sims[:n]
     states, bds, thetas, p_nans = [], [], [], []

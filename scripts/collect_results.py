@@ -105,17 +105,20 @@ def jellyfish():
                   f"| {m.get('n', '?')} "
                   f"| {m.get('walltime_s', float('nan'))} |")
         print()
-    b = (jsonl("jellyfish_results/baselines_r3.json")
-         or jsonl("jellyfish_results/baselines.json"))
+    b = jsonl("jellyfish_results/baselines.json")
     if b:
         print("### Jellyfish RL baselines (same surrogate env + objective)")
-        print("| method | PO | J | avg_force | theta_reg |")
-        print("|---|---|---|---|---|")
+        print("| method | PO | J | avg_force | theta_reg | convention |")
+        print("|---|---|---|---|---|---|")
         for r in b:
+            # rows written before r4 don't record their scoring convention;
+            # tag them instead of silently mixing objectives (ADVICE r3)
+            conv = r.get("objective_convention", "unrecorded (pre-r4)")
             print(f"| {r['method']} | {r.get('partially_observed')} "
                   f"| {r.get('J_jellyfish', float('nan')):.4f} "
                   f"| {r.get('avg_force', float('nan')):.4f} "
-                  f"| {r.get('theta_reg', float('nan')):.5f} |")
+                  f"| {r.get('theta_reg', float('nan')):.5f} "
+                  f"| {conv} |")
         print()
 
 

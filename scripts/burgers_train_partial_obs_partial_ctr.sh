@@ -13,5 +13,6 @@ python apps/train_burgers.py \
     --exp_id POPC_w --dim 64 --dim_muls 1 2 4 8 \
     --dataset free_u_f_1e5_front_rear_quarter \
     --partially_observed front_rear_quarter \
+    --train_on_partially_observed front_rear_quarter \
     --train_num_steps 200000 --checkpoint_interval 1000 \
     --is_model_w True

@@ -100,6 +100,11 @@ def segment_schedule(rng, xs, ys, num_t=256, y_scale=8.0, min_scale=2.0,
 
 def main(args):
     import jax
+
+    # rbg: threefry lowers each in-scan hash to a 5-iteration while loop
+    # (~0.8 ms/instance/step on this runtime, PERF.md); the generator draws
+    # two (B,128,128,2) normals per step
+    jax.config.update("jax_default_prng_impl", "unsafe_rbg")
     import jax.numpy as jnp
 
     from diffphycon_tpu.physics.fluids.smoke_env import (

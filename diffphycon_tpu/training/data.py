@@ -86,6 +86,83 @@ def synthetic_burgers(n: int, seed: int = 0, partial_control=None,
     return u, f
 
 
+def burgers_graph_edges(n_nodes: int = 128):
+    """1D chain graph over spatial nodes: bidirectional neighbor edges plus
+    the snapped edge attributes (reference Burgers.get_edge_index +
+    update_edge_attr_1d, dataset/apps/burgers_h5py.py:134-152, 193-201).
+
+    Returns (edge_index (2, E) int64, edge_attr (E, 1) float32 with values
+    +-1/129 — the reference snaps the position differences to exactly
+    1/(n_nodes+1))."""
+    i = np.arange(n_nodes - 1)
+    fwd = np.stack([i, i + 1])
+    bwd = np.stack([i + 1, i])
+    # the reference interleaves [i,i+1],[i+1,i] per i
+    edge_index = np.empty((2, 2 * (n_nodes - 1)), np.int64)
+    edge_index[:, 0::2] = fwd
+    edge_index[:, 1::2] = bwd
+    step = 1.0 / (n_nodes + 1)
+    edge_attr = np.where(edge_index[0] < edge_index[1], -step, step)
+    return edge_index, edge_attr[:, None].astype(np.float32)
+
+
+@dataclasses.dataclass
+class BurgersGraphDataset:
+    """Graph view over Burgers trajectories for operator-style training —
+    the counterpart of the reference's torch-geometric ``Burgers`` dataset
+    (dataset/apps/burgers_h5py.py:18-281 ``get()`` -> Data(x, y, f,
+    edge_index, x_pos, x_bdd, edge_attr)), returning plain numpy arrays
+    instead of torch_geometric.data.Data.
+
+    One item per (sim, effective time stamp): x is the ``input_steps``-long
+    history window per node, y the ``output_steps``-long future, f the
+    static force."""
+
+    u: np.ndarray            # (N, T, nx)
+    f: np.ndarray            # (N, nx) or (N, T-1, nx) static force per sim
+    input_steps: int = 1
+    output_steps: int = 10
+    time_interval: int = 1
+
+    def __post_init__(self):
+        t = self.u.shape[1]
+        ci = max(self.input_steps * self.time_interval, 1)
+        co = max(self.output_steps * self.time_interval, 1)
+        self._cushion_in, self._cushion_out = ci, co
+        self.time_stamps_effective = (t - ci - co
+                                      + self.time_interval) // self.time_interval
+        nx = self.u.shape[-1]
+        self.edge_index, self.edge_attr = burgers_graph_edges(nx)
+        self.x_pos = np.linspace(1, nx, nx, dtype=np.float32)[:, None] / (
+            nx + 1)
+        self.x_bdd = np.ones((nx, 1), np.float32)
+        self.x_bdd[0] = self.x_bdd[-1] = 0.0
+
+    def __len__(self):
+        return self.time_stamps_effective * self.u.shape[0]
+
+    def get(self, idx: int) -> dict:
+        sim_id, time_id = divmod(idx, self.time_stamps_effective)
+        ti, ci = self.time_interval, self._cushion_in
+        traj = self.u[sim_id]
+        xs = np.stack([traj[time_id * ti + ci + j]
+                       for j in range(-self.input_steps * ti, 0, ti)], -1)
+        ys = np.stack([traj[time_id * ti + ci + j]
+                       for j in range(0, self.output_steps * ti, ti)], -1)
+        force = self.f[sim_id]
+        if force.ndim > 1:  # per-step force: take the window start's frame
+            force = force[min(time_id, force.shape[0] - 1)]
+        return {
+            "x": xs[..., None].astype(np.float32),   # (nx, input_steps, 1)
+            "y": ys[..., None].astype(np.float32),   # (nx, output_steps, 1)
+            "f": force[:, None].astype(np.float32),  # (nx, 1)
+            "x_pos": self.x_pos,
+            "x_bdd": self.x_bdd,
+            "edge_index": self.edge_index,
+            "edge_attr": self.edge_attr,
+        }
+
+
 @dataclasses.dataclass
 class ArrayDataset:
     """In-memory dataset with an infinite shuffled batch iterator

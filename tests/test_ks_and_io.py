@@ -68,3 +68,38 @@ def test_scene_roundtrip(tmp_path):
     assert sc2.index == sc.index + 1
     sc2.properties = {"note": "test"}
     assert Scene.list(str(tmp_path), "smoke")[1].properties["note"] == "test"
+
+
+def test_burgers_graph_dataset_matches_reference_semantics():
+    """Graph view vs the reference Burgers dataset's get() field semantics
+    (dataset/apps/burgers_h5py.py:134-201): 1D chain edge_index interleaved
+    [i,i+1],[i+1,i], snapped +-1/129 edge attrs, input/output windows."""
+    import numpy as np
+
+    from diffphycon_tpu.training.data import (
+        BurgersGraphDataset,
+        burgers_graph_edges,
+    )
+
+    ei, ea = burgers_graph_edges(128)
+    assert ei.shape == (2, 254) and ea.shape == (254, 1)
+    assert (ei[:, 0] == [0, 1]).all() and (ei[:, 1] == [1, 0]).all()
+    # reference update_edge_attr_1d snaps to +-1/129: edge from node i to
+    # i+1 has attr x_pos[i]-x_pos[i+1] = -1/129
+    assert np.isclose(ea[0, 0], -1 / 129) and np.isclose(ea[1, 0], 1 / 129)
+
+    rng = np.random.default_rng(0)
+    u = rng.normal(size=(3, 11, 128)).astype(np.float32)
+    f = rng.normal(size=(3, 128)).astype(np.float32)
+    ds = BurgersGraphDataset(u, f)
+    # T=11, input 1, output 10 -> exactly one effective stamp per sim
+    assert ds.time_stamps_effective == 1 and len(ds) == 3
+    item = ds.get(2)
+    assert item["x"].shape == (128, 1, 1)
+    assert item["y"].shape == (128, 10, 1)
+    np.testing.assert_allclose(item["x"][:, 0, 0], u[2, 0])
+    np.testing.assert_allclose(item["y"][:, 0, 0], u[2, 1])
+    np.testing.assert_allclose(item["y"][:, -1, 0], u[2, 10])
+    np.testing.assert_allclose(item["f"][:, 0], f[2])
+    assert item["x_bdd"][0, 0] == 0 and item["x_bdd"][-1, 0] == 0
+    assert item["x_bdd"][1:-1].min() == 1

@@ -101,6 +101,10 @@ def segment_schedule(rng, xs, ys, num_t=256, y_scale=8.0, min_scale=2.0,
 def main(args):
     import jax
 
+    if args.cpu:
+        # the axon sitecustomize pins JAX_PLATFORMS=axon; only the config
+        # update reliably forces the host backend (PERF.md runtime traps)
+        jax.config.update("jax_platforms", "cpu")
     # rbg: threefry lowers each in-scan hash to a 5-iteration while loop
     # (~0.8 ms/instance/step on this runtime, PERF.md); the generator draws
     # two (B,128,128,2) normals per step
@@ -208,8 +212,10 @@ if __name__ == "__main__":
                    help="reject scenes whose target-bucket share of total "
                         "smoke is below this (reference loop_write_0423 "
                         "target_rate > 0.8)")
-    p.add_argument("--min_sum_rate", default=0.3, type=float)
-    p.add_argument("--max_sum_rate", default=1.1, type=float)
+    p.add_argument("--min_sum_rate", default=0.2, type=float)
+    p.add_argument("--max_sum_rate", default=2.0, type=float)
     p.add_argument("--accuracy", default=1e-6, type=float)
     p.add_argument("--max_iterations", default=500, type=int)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the host backend (micro-scale testing)")
     main(p.parse_args())

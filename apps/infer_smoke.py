@@ -48,6 +48,8 @@ def build_parser():
     p.add_argument("--solver_accuracy", default=1e-6, type=float)
     p.add_argument("--bf16", default=False, type=eval)
     p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the host backend (micro-scale testing)")
     p.add_argument("--calibrate", default=True, type=eval,
                    help="also evaluate zero-control and dataset-control "
                         "rollouts to anchor the J scale")
@@ -62,6 +64,9 @@ def build_parser():
 
 def main(args):
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 

@@ -38,12 +38,18 @@ def build_parser():
                    help="rematerialize all UNet3D blocks in the train step "
                         "(v5e-1 HBM cannot hold batch-8 activations)")
     p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the host backend (micro-scale testing)")
     p.add_argument("--resume", default=False, type=eval,
                    help="auto-restore the latest checkpoint in results_folder")
     return p
 
 
 def main(args):
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
     from diffphycon_tpu.benchmarks import smoke as bench

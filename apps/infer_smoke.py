@@ -102,6 +102,12 @@ def main(args):
 
     data = load_smoke_dataset(args.dataset_path, "test",
                               n=args.n_test_samples)  # (N, 33|256, 64, 64, 6)
+    if data.shape[1] >= 256:
+        # reference-layout test sims keep all 256 frames; the pipeline
+        # subsamples ::8 to the 32-frame model rate (run_model
+        # inference_2d_smoke.py:179-196). Self-generated test sims are
+        # already recorded at 33 frames.
+        data = data[:, ::8]
     n = data.shape[0]
     bs = min(args.batch_size, n)
     r = jnp.asarray(bench.RESCALER)

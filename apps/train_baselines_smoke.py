@@ -58,6 +58,8 @@ def build_parser():
                         "eval) instead of fresh random start boxes")
     p.add_argument("--save_file", default="smoke_results/baselines.json")
     p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the host backend (micro-scale testing)")
     return p
 
 
@@ -97,6 +99,9 @@ def run_episode(env, select, batch, rng, partially_observed, density0=None):
 
 def main(args):
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 

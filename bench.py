@@ -170,6 +170,8 @@ def _mfu_fields(jax, jnp, net, params, batch, cfg, steps_per_sec):
         except Exception:
             return {"mfu_pct": None, "mfu_note": "cost_analysis unavailable"}
     step_flops = 2.0 * fwd_flops
+    import os
+
     kind = "unknown"
     try:
         kind = jax.devices()[0].device_kind
@@ -179,8 +181,15 @@ def _mfu_fields(jax, jnp, net, params, batch, cfg, steps_per_sec):
                  str(kind).lower()), None)
     note = f"device_kind={kind}"
     if peak is None:
-        peak = 275e12
-        note += "; unknown kind -> assuming TPU v4 bf16 peak 275 TFLOP/s"
+        # the axon runtime exposes the chip generation via env, not kind
+        gen = os.environ.get("PALLAS_AXON_TPU_GEN", "")
+        peak = {"v4": 275e12, "v5e": 197e12, "v5p": 459e12,
+                "v6e": 918e12}.get(gen)
+        if peak is not None:
+            note += f"; PALLAS_AXON_TPU_GEN={gen}"
+        else:
+            peak = 275e12
+            note += "; unknown kind -> assuming TPU v4 bf16 peak 275 TFLOP/s"
     mfu = steps_per_sec * step_flops / peak
     return {
         "mfu_pct": round(100.0 * mfu, 2),

@@ -43,6 +43,8 @@ def build_parser():
     p.add_argument("--lr", default=1e-4, type=float)
     p.add_argument("--results_folder", default=None, type=str)
     p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the host backend")
     p.add_argument("--resume", default=False, type=eval,
                    help="auto-restore the latest checkpoint in results_folder")
 
@@ -72,6 +74,10 @@ def build_parser():
 
 
 def main(args):
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
     from diffphycon_tpu.benchmarks import burgers as bench

@@ -281,22 +281,83 @@ def bench_jellyfish(np, jax, jnp, batch=1, chunk_steps=100):
     return round(chunk_steps / (time.time() - t0), 2)
 
 
+def _chip_preflight(timeout_s: float = 240.0):
+    """Probe the TPU backend in a child process with a hard timeout.
+
+    The axon tunnel's outage mode (r4, PERF.md) BLOCKS jax.devices()
+    indefinitely rather than raising, so an unguarded bench would hang the
+    driver forever. Returns None when the chip answers, else a short error
+    string. The child is SIGTERMed first (a kill -9 mid-TPU-call wedges the
+    tunnel, PERF.md r3; a blocked backend-init connect is safe to TERM)."""
+    import subprocess
+    import sys
+
+    proc = subprocess.Popen(
+        [sys.executable, "-c", "import jax; jax.devices()"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    try:
+        rc = proc.wait(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        proc.terminate()
+        try:
+            proc.wait(timeout=15)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+        return f"jax.devices() blocked > {timeout_s:.0f}s (tunnel wedged)"
+    if rc != 0:
+        return f"jax.devices() failed (rc={rc})"
+    return None
+
+
+def _unreachable_json(reason: str) -> dict:
+    return {
+        "metric": "guided_denoise_steps_per_sec_per_chip",
+        "value": 0.0,
+        "unit": "steps/s",
+        "vs_baseline": 0.0,
+        "chip_unreachable": True,
+        "error": reason[:400],
+        "note": ("no measurement possible: the axon TPU tunnel is down "
+                 "(outage documented in PERF.md round 4); last validated "
+                 "on-chip value was 64.14 steps/s (r3, PERF.md)"),
+    }
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--impl", default="auto", choices=["auto", "xla", "pallas"])
     ap.add_argument("--full", action="store_true",
                     help="also bench the UNet3D sampling loops (smoke DDIM, "
                          "jellyfish guided DDPM) as secondary metrics")
+    ap.add_argument("--no_preflight", action="store_true")
     args = ap.parse_args()
-    out = main(args.impl)
-    if args.full:
-        import jax
-        import jax.numpy as jnp
-        import numpy as np
+    if not args.no_preflight:
+        err = _chip_preflight()
+        if err is not None:
+            print(json.dumps(_unreachable_json(err)))
+            raise SystemExit(0)
+    # watchdog: even a post-preflight wedge must still yield ONE JSON line
+    import signal
 
-        out["secondary"] = {
-            "smoke_ddim_guided_steps_per_sec": bench_smoke(np, jax, jnp),
-            "jellyfish_ddpm_guided_steps_per_sec": bench_jellyfish(
-                np, jax, jnp),
-        }
+    def _expired(sig, frm):
+        raise TimeoutError("bench watchdog expired (25 min)")
+
+    signal.signal(signal.SIGALRM, _expired)
+    signal.alarm(1500)
+    try:
+        out = main(args.impl)
+        if args.full:
+            import jax
+            import jax.numpy as jnp
+            import numpy as np
+
+            out["secondary"] = {
+                "smoke_ddim_guided_steps_per_sec": bench_smoke(np, jax, jnp),
+                "jellyfish_ddpm_guided_steps_per_sec": bench_jellyfish(
+                    np, jax, jnp),
+            }
+    except Exception as e:  # noqa: BLE001 — the artifact must exist
+        print(json.dumps(_unreachable_json(f"{type(e).__name__}: {e}")))
+        raise SystemExit(0)
+    signal.alarm(0)
     print(json.dumps(out))

@@ -134,7 +134,22 @@ def main(args):
         bs = args.batch
         written = 0
         batch_i = 0
+        # Rejection sampling must terminate even if a miscalibrated
+        # y_scale/filter_rate/seed combo drives acceptance ~0 (ADVICE r4):
+        # cap attempted batches at 50x the requested sims and fail loudly
+        # with the observed acceptance rate.
+        max_batches = max(1, (50 * n_sims + bs - 1) // bs)
         while written < n_sims:
+            if batch_i >= max_batches:
+                rates = stats["rates"]
+                acc = (stats.get("accepted", written) / max(
+                    stats["attempted"], 1))
+                raise SystemExit(
+                    f"generate_smoke: acceptance rate {acc:.4f} after "
+                    f"{stats['attempted']} attempts (cap {max_batches} "
+                    f"batches); max target_rate seen "
+                    f"{max(rates) if rates else 0:.3f} vs filter_rate "
+                    f"{args.filter_rate} — recalibrate y_scale/filter_rate")
             dens0 = np.zeros((bs, 128, 128), np.float32)
             seg_v = np.zeros((bs, 4, 2), np.float32)
             seg_starts = np.zeros((bs, 4), np.int32)

@@ -300,7 +300,10 @@ def main(args):
     walltime = time.time() - t0
 
     agg = {
-        "objective": float(np.concatenate(all_obj).mean()),
+        # In --rescore_thetas mode no open-loop objective is computed; write
+        # None rather than an indistinguishable-from-measured 0.0 (ADVICE r4).
+        "objective": (None if saved_thetas is not None
+                      else float(np.concatenate(all_obj).mean())),
         "objective_closed_loop": float(np.concatenate(all_obj_cl).mean()),
         "theta_mae_vs_gt": float(np.concatenate(all_theta_mae).mean()),
         "walltime_s": round(walltime, 2),

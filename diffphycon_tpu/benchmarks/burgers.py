@@ -74,7 +74,11 @@ class BurgersConfig:
     def __post_init__(self):
         if self.dim_muls is not None:
             self.dim_mults = tuple(self.dim_muls)
-        self.dim_muls = tuple(self.dim_mults)
+        self.dim_mults = tuple(self.dim_mults)
+        # Reset the alias so dataclasses.replace(cfg, dim_mults=...) round-trips:
+        # replace() re-runs __post_init__, and a stale non-None dim_muls would
+        # silently revert the new dim_mults (ADVICE r4, medium).
+        self.dim_muls = None
 
 
 def build_unet(cfg: BurgersConfig) -> UNet2D:

@@ -60,3 +60,20 @@ def test_parity_with_reference(reference_path, dim, dim_mults):
     out = net.apply(params, jnp.asarray(x_nhwc), jnp.asarray(t))
     out_nchw = np.transpose(np.asarray(out), (0, 3, 1, 2))
     np.testing.assert_allclose(out_nchw, ref, rtol=2e-3, atol=2e-4)
+
+
+def test_burgers_config_replace_roundtrip():
+    """dataclasses.replace(cfg, dim_mults=...) must not be reverted by the
+    deprecated dim_muls alias re-applying in __post_init__ (ADVICE r4,
+    medium: infer_burgers cfg_w built the wrong w-model architecture)."""
+    import dataclasses
+
+    from diffphycon_tpu.benchmarks.burgers import BurgersConfig
+
+    cfg = BurgersConfig(dim=8, dim_muls=(1, 2))
+    assert cfg.dim_mults == (1, 2)
+    cfg2 = dataclasses.replace(cfg, dim_mults=(1, 2, 4))
+    assert cfg2.dim_mults == (1, 2, 4)
+    # alias still wins at construction time
+    cfg3 = BurgersConfig(dim=8, dim_mults=(1, 2, 4), dim_muls=(1, 4))
+    assert cfg3.dim_mults == (1, 4)

@@ -124,8 +124,12 @@ def main(args):
     )
 
     stats = {"attempted": 0, "accepted": 0, "rates": []}
-    for split, n_sims in [("train", args.n_train),
-                          ("test/control", args.n_test)]:
+    # test split first: it is ~30x cheaper than train, and a wall-clock
+    # timeout cutting the train loop short must not strand the evaluator
+    # without test sims (seeds are split-keyed, so order doesn't change
+    # content)
+    for split, n_sims in [("test/control", args.n_test),
+                          ("train", args.n_train)]:
         if n_sims == 0:
             continue
         base = os.path.join(args.out, split)

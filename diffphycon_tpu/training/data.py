@@ -236,6 +236,10 @@ def load_smoke_dataset(root, split="train", n=None, frames=32, size=64,
         root, "test", "control")
     sims = sorted(
         d for d in os.listdir(base) if d.startswith("sim_")
+        # a generator cut by a wall-clock timeout can leave its last sim dir
+        # missing some of the four arrays; skip incomplete dirs
+        and all(os.path.exists(os.path.join(base, d, f + ".npy"))
+                for f in ("Density", "Velocity", "Control", "Smoke"))
     )
     if n is not None:
         sims = sims[:n]

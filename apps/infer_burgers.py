@@ -31,6 +31,11 @@ def build_parser():
     p.add_argument("--model_root", default="./trained_models", type=str)
     p.add_argument("--checkpoint", default=10, type=int)
     p.add_argument("--checkpoint__model_w", default=10, type=int)
+    p.add_argument("--checkpoint_sweep", nargs="+", default=None, type=int,
+                   help="evaluate several checkpoints in ONE process (params "
+                        "are jit arguments, so the sampler compiles once and "
+                        "each extra checkpoint costs only its sample time; "
+                        "the same step number is used for the w model)")
     p.add_argument("--save_file", default="burgers_results/result.json", type=str)
     p.add_argument("--dataset", default="free_u_f_1e5", type=str)
     p.add_argument("--data_root", default="data", type=str)
@@ -136,7 +141,9 @@ def main(args):
     )
 
     net = bench.build_unet(cfg)
-    params = Trainer.load_params(
+    # with --checkpoint_sweep every checkpoint (incl. the first) is loaded
+    # inside the sweep loop; skip the upfront read
+    params = None if args.checkpoint_sweep else Trainer.load_params(
         os.path.join(args.model_root, "burgers", args.exp_id),
         args.checkpoint, use_ema=args.use_ema,
     )
@@ -161,7 +168,7 @@ def main(args):
             weight_dtype=jnp.bfloat16 if args.bf16 else None)
         apply_fn = lambda p, x, t: unet2d_pallas_apply(p, x, t)
     if args.eval_two_models:
-        params_w = Trainer.load_params(
+        params_w = None if args.checkpoint_sweep else Trainer.load_params(
             os.path.join(args.model_root, "burgers_w", args.exp_id__model_w),
             args.checkpoint__model_w, use_ema=args.use_ema,
         )
@@ -214,46 +221,65 @@ def main(args):
 
         return jax.jit(run)
 
+    def load_all(ck):
+        p_j = Trainer.load_params(
+            os.path.join(args.model_root, "burgers", args.exp_id),
+            ck, use_ema=args.use_ema)
+        if not args.eval_two_models:
+            return p_j
+        p_w = Trainer.load_params(
+            os.path.join(args.model_root, "burgers_w", args.exp_id__model_w),
+            ck, use_ema=args.use_ema)
+        return (p_j, p_w)
+
+    sweep = args.checkpoint_sweep  # None -> single pre-loaded checkpoint
     results = {}
     for wu in args.wus:
         for wf in args.wfs:
             sampler = make_sampler(wu, wf)
-            rows = []
-            t_start = time.time()
-            for i in range(n // bs):
-                tgt = jax.numpy.asarray(u_target_all[i * bs : (i + 1) * bs])
-                key = jax.random.PRNGKey(i)
-                x = sampler(all_params, key, tgt,
-                            jax.numpy.float32(wu), jax.numpy.float32(wf))
-                res = bench.evaluate_samples(x, tgt, cfg)
-                rows.append(res)
-            walltime = time.time() - t_start
-            j_mse = np.concatenate([r.j_actual[0] for r in rows])
-            j_mae = np.concatenate([r.j_actual[2] for r in rows])
-            j_nmse = np.concatenate([r.j_actual[4] for r in rows])
-            j_nmae = np.concatenate([r.j_actual[5] for r in rows])
-            energy = np.concatenate([r.control_energy for r in rows])
-            ddpm_mse = np.concatenate([r.ddpm_mse for r in rows])
-            entry = {
-                "J_actual_mse": float(j_mse.mean()),
-                "J_actual_mae": float(j_mae.mean()),
-                "J_actual_nmse": float(j_nmse.mean()),
-                "J_actual_nmae": float(j_nmae.mean()),
-                "control_energy": float(energy.mean()),
-                "ddpm_mse": float(ddpm_mse.mean()),
-                "walltime_s": round(walltime, 3),
-                "n": n,
-            }
-            results[f"wu={wu},wf={wf}"] = entry
-            print(f"[wu={wu} wf={wf}] J_actual(mse)={entry['J_actual_mse']:.6f} "
-                  f"energy={entry['control_energy']:.2f} "
-                  f"ddpm_mse={entry['ddpm_mse']:.6f} ({walltime:.1f}s)",
-                  flush=True)
-            # save after every sweep point: a campaign clock-cut mid-sweep
-            # must not erase the combos that already finished
-            os.makedirs(os.path.dirname(args.save_file) or ".", exist_ok=True)
-            with open(args.save_file, "w") as fh:
-                json.dump(results, fh, indent=2)
+            for ck in (sweep or [None]):
+                if ck is not None:
+                    all_params = load_all(ck)
+                rows = []
+                t_start = time.time()
+                for i in range(n // bs):
+                    tgt = jax.numpy.asarray(u_target_all[i * bs : (i + 1) * bs])
+                    key = jax.random.PRNGKey(i)
+                    x = sampler(all_params, key, tgt,
+                                jax.numpy.float32(wu), jax.numpy.float32(wf))
+                    res = bench.evaluate_samples(x, tgt, cfg)
+                    rows.append(res)
+                walltime = time.time() - t_start
+                j_mse = np.concatenate([r.j_actual[0] for r in rows])
+                j_mae = np.concatenate([r.j_actual[2] for r in rows])
+                j_nmse = np.concatenate([r.j_actual[4] for r in rows])
+                j_nmae = np.concatenate([r.j_actual[5] for r in rows])
+                energy = np.concatenate([r.control_energy for r in rows])
+                ddpm_mse = np.concatenate([r.ddpm_mse for r in rows])
+                entry = {
+                    "J_actual_mse": float(j_mse.mean()),
+                    "J_actual_mae": float(j_mae.mean()),
+                    "J_actual_nmse": float(j_nmse.mean()),
+                    "J_actual_nmae": float(j_nmae.mean()),
+                    "control_energy": float(energy.mean()),
+                    "ddpm_mse": float(ddpm_mse.mean()),
+                    "walltime_s": round(walltime, 3),
+                    "n": n,
+                }
+                key_name = (f"wu={wu},wf={wf}" if ck is None
+                            else f"ckpt={ck},wu={wu},wf={wf}")
+                results[key_name] = entry
+                print(f"[{key_name}] "
+                      f"J_actual(mse)={entry['J_actual_mse']:.6f} "
+                      f"energy={entry['control_energy']:.2f} "
+                      f"ddpm_mse={entry['ddpm_mse']:.6f} ({walltime:.1f}s)",
+                      flush=True)
+                # save after every sweep point: a campaign clock-cut
+                # mid-sweep must not erase the combos that already finished
+                os.makedirs(os.path.dirname(args.save_file) or ".",
+                            exist_ok=True)
+                with open(args.save_file, "w") as fh:
+                    json.dump(results, fh, indent=2)
 
     print("saved", args.save_file, flush=True)
     return results

@@ -50,6 +50,10 @@ class TrainerConfig:
     ema: EMAConfig = dataclasses.field(default_factory=EMAConfig)
     seed: int = 0
     log_every: int = 100
+    # keep-last-20 pruning additionally preserves every checkpoint whose step
+    # is a multiple of this period, so LR-cycle minima (cosine10000 restarts
+    # at 10k multiples) survive long runs; None disables.
+    ckpt_keep_period: Optional[int] = 10_000
 
 
 class Trainer:
@@ -149,7 +153,12 @@ class Trainer:
 
         return ocp.CheckpointManager(
             (self.results_folder / "ckpt").resolve(),
-            options=ocp.CheckpointManagerOptions(max_to_keep=20),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=20,
+                # protect LR-cycle-minimum checkpoints from pruning (the r5
+                # burgers-w 10k minimum was lost to plain keep-20)
+                keep_period=self.cfg.ckpt_keep_period,
+            ),
         )
 
     def save(self, milestone: Optional[int] = None):

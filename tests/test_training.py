@@ -152,6 +152,24 @@ def test_checkpoint_roundtrip(tmp_path):
     assert ema is not None
 
 
+def test_keep_period_protects_lr_minima(tmp_path):
+    """keep-20 pruning must preserve checkpoints at ckpt_keep_period
+    multiples (LR-cycle minima): the r5 burgers-w run lost its 10k-minimum
+    checkpoint to plain max_to_keep=20 pruning."""
+    trainer = _tiny_setup(tmp_path)
+    trainer.cfg.ckpt_keep_period = 5
+    for s in range(1, 26):
+        trainer.state = trainer.state.replace(
+            step=jnp.asarray(s, jnp.int32))
+        trainer.save()
+    mgr = trainer._ckpt_mgr()
+    steps = set(mgr.all_steps())
+    mgr.close()
+    assert 5 in steps, "LR-minimum checkpoint was pruned"
+    assert 25 in steps
+    assert 4 not in steps  # plain pruning still applies off-period
+
+
 def test_kill_and_resume_continues(tmp_path):
     """A restarted trainer with resume() picks up step/params/EMA/opt from
     the newest milestone and keeps training to completion (VERDICT #7)."""

@@ -13,14 +13,19 @@ import sys
 
 def burgers():
     rows = []
-    for f in sorted(glob.glob("burgers_results/*.json")):
+    # top-level = full-observation rows; subdirectories hold the reference
+    # experiment grid (partial_obs_full_ctr / full_obs_partial_ctr /
+    # partial_obs_partial_ctr), labeled by their directory.
+    for f in sorted(glob.glob("burgers_results/*.json")
+                    + glob.glob("burgers_results/*/*.json")):
         try:
             d = json.load(open(f))
         except Exception:
             continue
+        rel = os.path.relpath(f, "burgers_results")
         for k, v in d.items():
             if isinstance(v, dict) and "J_actual_mse" in v:
-                rows.append((os.path.basename(f), k, v))
+                rows.append((rel, k, v))
     if rows:
         print("## Burgers (J_actual = final-state MSE after FD re-simulation)")
         print("| run | config | J_actual | energy | ddpm_mse |")
@@ -83,10 +88,14 @@ def smoke():
         print("| method | PO | J_target | smoke_out | J_energy |")
         print("|---|---|---|---|---|")
         for r in b:
+            # N/A-annotated rows (e.g. SAC at an honest budget) carry None
+            def fmt(key, spec):
+                v = r.get(key)
+                return format(v, spec) if isinstance(v, (int, float)) else "-"
             print(f"| {r['method']} | {r.get('partially_observed')} "
-                  f"| {r.get('J_target', float('nan')):.4f} "
-                  f"| {r.get('smoke_out', float('nan')):.4f} "
-                  f"| {r.get('J_energy', float('nan')):.1f} |")
+                  f"| {fmt('J_target', '.4f')} "
+                  f"| {fmt('smoke_out', '.4f')} "
+                  f"| {fmt('J_energy', '.1f')} |")
         print()
 
 
